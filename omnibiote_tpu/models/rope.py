@@ -1,0 +1,54 @@
+"""Rotary position embeddings (real-valued formulation).
+
+Numerically equivalent to the reference's complex-number LLaMA-style RoPE
+(/root/reference/training/model.py:39-61): adjacent feature pairs
+(x[..., 2j], x[..., 2j+1]) are rotated by angle t * theta^(-2j/d), computed in
+float32 and cast back to the input dtype, exactly as the reference does
+(`xq.float()` ... `.type_as(xq)`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=8)
+def _rope_tables_cached(head_dim: int, end: int, theta: float):
+    freqs = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    t = jnp.arange(end, dtype=jnp.float32)
+    angles = jnp.outer(t, freqs)  # (end, head_dim//2)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def rope_tables(head_dim: int, end: int, theta: float = 10000.0):
+    """cos/sin tables of shape (end, head_dim//2), float32.
+
+    Mirrors precompute_freqs_cis (reference model.py:53-61): freqs_cis[t, j] =
+    exp(i * t * theta^(-2j/d)); here split into real cos/sin parts.
+    """
+    return _rope_tables_cached(int(head_dim), int(end), float(theta))
+
+
+def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """Rotate q, k of shape (B, T, H, Dh) by per-position angles.
+
+    Tables are truncated to the runtime sequence length (variable-length
+    support, reference model.py:32-33). Computation in fp32, result cast back
+    to the input dtype (reference model.py:44-50).
+    """
+    T = q.shape[1]
+    cos = cos[:T][None, :, None, :]  # (1, T, 1, Dh/2)
+    sin = sin[:T][None, :, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        x_even = xf[..., 0::2]
+        x_odd = xf[..., 1::2]
+        out_even = x_even * cos - x_odd * sin
+        out_odd = x_even * sin + x_odd * cos
+        # Interleave back: (..., Dh/2, 2) -> (..., Dh)
+        out = jnp.stack([out_even, out_odd], axis=-1).reshape(x.shape)
+        return out.astype(x.dtype)
+
+    return rot(q), rot(k)

@@ -1,0 +1,89 @@
+"""Attention dispatch: Pallas flash kernel (TPU) or XLA reference path.
+
+The XLA path reproduces torch.nn.functional.scaled_dot_product_attention with
+an additive segment mask and µP 1/d scale (reference
+/root/reference/training/model.py:115-145): scores are accumulated in fp32,
+softmax in fp32, with the additive -1e9 convention of create_attention_mask.
+It serves as the correctness oracle for the Pallas kernel and as the CPU-test
+backend.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .segments import NEG_INF
+
+
+def xla_attention(
+    q: jnp.ndarray,           # (B, T, H, Dh)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, T) int32; None = dense
+    causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Bidirectional (or causal) SDPA with additive segment masking.
+
+    Matches the reference semantics:
+      * scale = 8/n_embd applied to q @ k^T (model.py:119)
+      * additive -1e9 mask for cross-segment pairs (train_encoder.py:40)
+      * softmax over keys in fp32
+      * attention-probability dropout only when training (model.py:121)
+    """
+    B, T, H, Dh = q.shape
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    scores = scores * jnp.float32(scale)
+
+    if segment_ids is not None:
+        vis = segment_ids[:, :, None] == segment_ids[:, None, :]  # (B, T, S)
+        scores = scores + jnp.where(vis, 0.0, NEG_INF)[:, None, :, :]
+    if causal:
+        idx = jnp.arange(T)
+        cmask = idx[:, None] >= idx[None, :]
+        scores = jnp.where(cmask[None, None], scores, -jnp.inf)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+
+    probs = probs.astype(v.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v)
+    return out
+
+
+def attention(
+    q, k, v, *,
+    scale: float,
+    segment_ids=None,
+    causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+    impl: str = "flash",
+    block_q: int = 128,
+    block_kv: int = 128,
+):
+    """Dispatch to the Pallas flash kernel or the XLA oracle.
+
+    The flash kernel requires T to be a multiple of its block size and is only
+    profitable on TPU; anything else falls back to XLA.
+    """
+    T = q.shape[1]
+    if impl == "flash" and dropout_rate == 0.0 and not causal and T % 128 == 0:
+        from .flash_attention import flash_attention
+        return flash_attention(
+            q, k, v, segment_ids=segment_ids, scale=scale,
+            block_q=min(block_q, T), block_kv=min(block_kv, T))
+    return xla_attention(
+        q, k, v, scale=scale, segment_ids=segment_ids, causal=causal,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng)

@@ -1,0 +1,81 @@
+"""µP-AdamW optimizer chain and LR schedule.
+
+Reproduces the reference optimizer semantics (train_encoder.py:193-201,316-318):
+  * base LR = lr * sqrt(global_batch_size) / 32
+  * mup.MuAdamW: matrix-like params get LR / width_mult (see omnibiote_tpu.mup);
+    --force_lr uses plain AdamW (uniform LR)
+  * torch AdamW decoupled weight decay on *all* params (the reference passes
+    model.parameters() as a single group), wd scaled by the per-group LR
+  * LinearLR 1.0 -> 0.0 over total_iters: factor(i) = max(0, 1 - i/total)
+  * global grad-norm clip 1.0 before the step
+
+Improvement over the reference: on resume the schedule continues from the
+true step count instead of the reference's rebuilt scheduler whose start
+factor is `trained/budget` (train_encoder.py:220) — i.e. a resume at 90%
+restarts at 90% of peak LR there; here it resumes where it left off.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import OmniBioTAConfig, TrainConfig
+from ..mup import lr_mult_tree
+
+
+def scaled_lr(train_cfg: TrainConfig) -> float:
+    """lr * sqrt(batch)/32 (train_encoder.py:195; default batch 1024 -> x1)."""
+    return train_cfg.lr * (train_cfg.batch_size ** 0.5) / 32.0
+
+
+def linear_decay(base_lr: float, total_iters: int) -> Callable:
+    """torch LinearLR(start_factor=1.0, end_factor=0.0, total_iters)."""
+    def sched(count):
+        frac = jnp.minimum(count, total_iters) / jnp.maximum(total_iters, 1)
+        return base_lr * (1.0 - frac)
+    return sched
+
+
+def _scale_by_mup_lr(schedule: Callable, mult_tree) -> optax.GradientTransformation:
+    """Per-leaf LR: update = -lr(t) * mult_leaf * u (descent direction)."""
+
+    def init_fn(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        lr = schedule(state.count)
+        updates = jax.tree.map(
+            lambda u, m: u * (-lr * m), updates, mult_tree)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    params,
+    model_cfg: OmniBioTAConfig,
+    train_cfg: TrainConfig,
+    total_iters: int,
+) -> optax.GradientTransformation:
+    """clip(1.0) -> Adam moments -> +wd*p -> per-leaf -lr(t)*mult."""
+    base_lr = scaled_lr(train_cfg)
+    mults = lr_mult_tree(params, model_cfg, force_lr=train_cfg.force_lr)
+    return optax.chain(
+        optax.clip_by_global_norm(train_cfg.grad_clip),
+        optax.scale_by_adam(
+            b1=train_cfg.beta1, b2=train_cfg.beta2, eps=train_cfg.epsilon),
+        optax.add_decayed_weights(train_cfg.weight_decay),
+        _scale_by_mup_lr(linear_decay(base_lr, total_iters), mults),
+    )
+
+
+def current_lr(opt_state, model_cfg, train_cfg, total_iters) -> float:
+    """LR at the current step (for logging, cf. train_encoder.py:326-332)."""
+    count = int(opt_state[-1].count)
+    base_lr = scaled_lr(train_cfg)
+    return float(linear_decay(base_lr, total_iters)(count))

@@ -1,0 +1,137 @@
+"""Unit tests: RoPE vs complex reference, segment ids, µP scaling, optimizer."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from omnibiote_tpu import OmniBioTAConfig, init_params, forward
+from omnibiote_tpu.models.rope import rope_tables, apply_rope
+from omnibiote_tpu.ops.segments import (
+    segment_ids_np, segment_ids_jnp, padding_segment_ids_np)
+from omnibiote_tpu.mup import lr_mult_tree
+from omnibiote_tpu.config import TrainConfig
+from omnibiote_tpu.training.optim import make_optimizer, scaled_lr, linear_decay
+
+
+def test_rope_matches_complex_reference():
+    """Real rotate-pair formulation == complex multiplication (model.py:39-61)."""
+    rng = np.random.default_rng(0)
+    B, T, H, Dh = 2, 16, 3, 8
+    q = rng.standard_normal((B, T, H, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, T, H, Dh)).astype(np.float32)
+
+    # complex-number reference computation in numpy
+    freqs = 1.0 / (10000.0 ** (np.arange(0, Dh, 2) / Dh))
+    ang = np.outer(np.arange(T), freqs)
+    fc = np.exp(1j * ang)  # (T, Dh/2)
+
+    def ref_rot(x):
+        xc = x.reshape(B, T, H, Dh // 2, 2)
+        xc = xc[..., 0] + 1j * xc[..., 1]
+        out = xc * fc[None, :, None, :]
+        return np.stack([out.real, out.imag], axis=-1).reshape(B, T, H, Dh)
+
+    cos, sin = rope_tables(Dh, 32)
+    qj, kj = apply_rope(jnp.asarray(q), jnp.asarray(k), cos, sin)
+    np.testing.assert_allclose(np.asarray(qj), ref_rot(q).astype(np.float32),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kj), ref_rot(k).astype(np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_segment_ids_semantics():
+    ids = np.array([
+        [5, 6, 3, 7, 8, 9, 3, 4],   # two EOS: segments [0..2],[3..6],[7]
+        [5, 6, 7, 8, 9, 9, 9, 9],   # no EOS: all one segment
+        [3, 5, 5, 3, 1, 1, 1, 1],   # EOS at 0 and 3, then PAD tail
+    ], dtype=np.int32)
+    seg = segment_ids_np(ids)
+    np.testing.assert_array_equal(seg[0], [0, 0, 0, 1, 1, 1, 1, 2])
+    np.testing.assert_array_equal(seg[1], [0] * 8)
+    np.testing.assert_array_equal(seg[2], [0, 1, 1, 1, 2, 2, 2, 2])
+    np.testing.assert_array_equal(np.asarray(segment_ids_jnp(jnp.asarray(ids))), seg)
+
+
+def test_padding_segment_ids():
+    ids = np.array([[9, 9, 1, 9], [9, 9, 9, 9]], dtype=np.int32)
+    seg = padding_segment_ids_np(ids, pad_token=1)
+    np.testing.assert_array_equal(seg[0], [0, 0, -1, -1])
+    np.testing.assert_array_equal(seg[1], [0, 0, 0, 0])
+
+
+def test_mup_lr_mults():
+    cfg = OmniBioTAConfig(n_layer=2, n_head=2, n_embd=48, vocab_size=64,
+                          block_size=32, mup_base_n_embd=24)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mults = lr_mult_tree(params, cfg)
+    assert mults["wte"] == 1.0
+    assert mults["lm_head"] == 1.0
+    assert mults["ln_f"]["scale"] == 1.0
+    assert mults["blocks"]["attn"]["wqkv"] == 0.5   # 1/width_mult, wm=2
+    assert mults["blocks"]["attn"]["wo"] == 0.5
+    assert mults["blocks"]["mlp"]["wi"] == 0.5
+    assert mults["blocks"]["mlp"]["wo"] == 0.5
+    # force_lr disables scaling
+    flat = jax.tree.leaves(lr_mult_tree(params, cfg, force_lr=True))
+    assert all(m == 1.0 for m in flat)
+
+
+def test_mup_coordinate_check():
+    """Activation scale of the final embeddings stays O(1) as width grows,
+    and logit scale does NOT blow up with width (µP readout)."""
+    means = {}
+    logit_means = {}
+    for width in (32, 128, 512):
+        cfg = OmniBioTAConfig(
+            n_layer=2, n_head=4, n_embd=width, vocab_size=64, block_size=32,
+            dropout=0.0, mup_base_n_embd=8, attn_impl="xla",
+            compute_dtype="float32")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        idx = jnp.asarray(
+            np.random.default_rng(0).integers(4, 64, size=(2, 32)), jnp.int32)
+        emb = forward(params, cfg, idx, return_embeddings=True)
+        logits = forward(params, cfg, idx)
+        means[width] = float(jnp.abs(emb).mean())
+        logit_means[width] = float(jnp.abs(logits).mean())
+    # embeddings post-LN are O(1) at any width; logits must not grow with width
+    assert 0.2 < means[512] / means[32] < 5.0
+    assert logit_means[512] / logit_means[32] < 2.0
+
+
+def test_optimizer_schedule_and_clip():
+    cfg = OmniBioTAConfig(n_layer=1, n_head=2, n_embd=16, vocab_size=32,
+                          block_size=16, mup_base_n_embd=8)
+    tc = TrainConfig(batch_size=1024, lr=1e-2, grad_clip=1.0)
+    assert abs(scaled_lr(tc) - 1e-2) < 1e-12  # sqrt(1024)/32 == 1
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(params, cfg, tc, total_iters=10)
+    state = opt.init(params)
+    grads = jax.tree.map(lambda p: jnp.ones_like(p) * 100.0, params)
+    updates, state = opt.update(grads, state, params)
+    # after clipping to norm 1, per-leaf updates are finite and small
+    gn = optax_global_norm(updates)
+    assert np.isfinite(gn)
+    # schedule decays linearly: step 0 -> lr, step 10 -> 0
+    sched = linear_decay(1.0, 10)
+    assert float(sched(0)) == 1.0
+    assert abs(float(sched(5)) - 0.5) < 1e-6
+    assert float(sched(10)) == 0.0
+    assert float(sched(20)) == 0.0
+
+
+def optax_global_norm(tree):
+    return float(jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                              for x in jax.tree.leaves(tree))))
+
+
+def test_remat_matches_no_remat():
+    cfg = OmniBioTAConfig(n_layer=3, n_head=2, n_embd=16, vocab_size=32,
+                          block_size=16, dropout=0.0, attn_impl="xla",
+                          compute_dtype="float32")
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    idx = jnp.asarray(
+        np.random.default_rng(1).integers(4, 32, size=(2, 16)), jnp.int32)
+    out1 = forward(params, cfg, idx, return_embeddings=True)
+    out2 = forward(params, cfg.replace(checkpoint_freq=1), idx,
+                   return_embeddings=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-6, atol=1e-6)
