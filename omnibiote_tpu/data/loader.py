@@ -1,0 +1,224 @@
+"""Streaming token-shard data pipeline (host side).
+
+TPU-native rework of /root/reference/training/loader.py:
+  * shard_reader()    == line_reader()   (loader.py:25-59)
+  * pack_sequences()  == get_sequence()  (loader.py:118-163), both modes
+  * mixture_batches() == get_batch()     (loader.py:165-181)
+
+Differences from the reference (all deliberate):
+  * seeded: every shuffle draws from an explicit np.random.Generator instead
+    of the global numpy RNG, so runs are reproducible and the stream is
+    checkpointable (the reference restarts data from scratch on resume,
+    SURVEY.md §5);
+  * checkpointable: state() / restore via the `state` constructor argument
+    resumes at a shard-chunk boundary;
+  * batches carry segment ids derived from EOS positions (ops/segments),
+    replacing the reference's per-micro-batch O(B,T,T) mask build
+    (train_encoder.py:290-292).
+
+Packing semantics are reproduced exactly, including the reference's
+token-dropping edge cases:
+  * truncate mode: the overflowing line is cut to fill the row and its
+    remainder is DISCARDED (loader.py:147-149);
+  * padding mode: the overflowing line is discarded entirely, and a line
+    longer than ctx_len is skipped (loader.py:140-146);
+  * in both modes, the line pulled immediately after a row fills to exactly
+    ctx_len is dropped on the floor (loader.py:131-136 pulls before checking).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import EOS_TOKEN, PAD_TOKEN
+from ..ops.segments import segment_ids_np
+
+# Number of shard files concatenated per read chunk (~100 MB/file in the
+# reference corpus, loader.py:33).
+CHUNK_FILES = 10
+
+
+@dataclasses.dataclass
+class ReaderState:
+    """Resumable position of one shard_reader stream."""
+    seed: int
+    epoch: int = 0
+    chunk_idx: int = 0
+
+    def to_dict(self):
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(**d)
+
+
+def shard_reader(
+    filenames: Sequence[str],
+    banned_tokens: Sequence[int] = (),
+    *,
+    seed: int = 0,
+    state: Optional[ReaderState] = None,
+    chunk_files: int = CHUNK_FILES,
+) -> Iterator[np.ndarray]:
+    """Infinite generator of individual sequences (int32 arrays).
+
+    Per epoch: shuffle shard order, load `chunk_files` files at a time,
+    concatenate, split after each EOS, shuffle sequence order within the
+    chunk, filter banned tokens, yield non-empty sequences
+    (reference line_reader, loader.py:25-59).
+
+    The generator exposes its resumable position via the `.state` attribute
+    of the returned object (updated at chunk boundaries).
+    """
+    filenames = list(filenames)
+    st = state or ReaderState(seed=seed)
+    banned = np.asarray(list(banned_tokens), dtype=np.int64)
+
+    def gen():
+        while True:
+            # Epoch-level shuffle must be reproducible given (seed, epoch) so
+            # chunk_idx alone pins the resume point.
+            rng = np.random.default_rng((st.seed, st.epoch))
+            order = rng.permutation(len(filenames))
+            chunks = [order[i:i + chunk_files]
+                      for i in range(0, len(filenames), chunk_files)]
+            while st.chunk_idx < len(chunks):
+                chunk = chunks[st.chunk_idx]
+                block = np.concatenate(
+                    [np.load(filenames[i], mmap_mode=None) for i in chunk])
+                eos_idx = np.where(block == EOS_TOKEN)[0]
+                sub_blocks = np.split(block, eos_idx + 1)
+                sub_rng = np.random.default_rng((st.seed, st.epoch, st.chunk_idx))
+                for j in sub_rng.permutation(len(sub_blocks)):
+                    sb = sub_blocks[j]
+                    if len(sb) == 0:
+                        continue
+                    if len(banned) == 1:
+                        sb = sb[sb != banned[0]]
+                    elif len(banned) > 1:
+                        sb = sb[~np.isin(sb, banned)]
+                    if len(sb):
+                        yield sb.astype(np.int32)
+                st.chunk_idx += 1
+            st.epoch += 1
+            st.chunk_idx = 0
+
+    class _Reader:
+        """Iterator wrapper exposing the live resumable state."""
+        state = st
+
+        def __init__(self):
+            self._g = gen()
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            return next(self._g)
+
+    return _Reader()
+
+
+def pack_sequences(
+    reader: Iterator[np.ndarray],
+    ctx_len: int,
+    use_padding: bool = False,
+) -> Iterator[np.ndarray]:
+    """Pack variable-length sequences into fixed ctx_len rows
+    (reference get_sequence, loader.py:118-163; see module docstring for the
+    reproduced edge cases)."""
+    sequence: List[int] = []
+    while True:
+        line = next(reader)
+        seq_len = len(sequence)
+
+        if seq_len == ctx_len:
+            yield np.asarray(sequence, dtype=np.int32)
+            sequence = []
+            continue  # `line` dropped, as in the reference
+
+        if seq_len + len(line) > ctx_len:
+            if use_padding:
+                if seq_len == 0:
+                    continue  # line longer than ctx_len: skipped
+                sequence.extend([PAD_TOKEN] * (ctx_len - seq_len))
+            else:
+                sequence.extend(line[:ctx_len - seq_len].tolist())
+            yield np.asarray(sequence, dtype=np.int32)
+            sequence = []
+            continue
+
+        sequence.extend(line.tolist())
+
+
+def mixture_batches(
+    generators: Sequence[Iterator[np.ndarray]],
+    counts: Sequence[int],
+    *,
+    seed: int = 0,
+    with_segments: bool = True,
+) -> Iterator[dict]:
+    """Deterministic per-batch corpus mixture (reference get_batch,
+    loader.py:165-181): pull counts[i] rows from generators[i], shuffle row
+    order, emit {'tokens': (B,T) int32, 'segments': (B,T) int32}."""
+    rng = np.random.default_rng((seed, 0xBA7C4))
+    while True:
+        rows = []
+        for gen_i, n in zip(generators, counts):
+            for _ in range(n):
+                rows.append(next(gen_i))
+        batch = np.stack(rows)
+        batch = batch[rng.permutation(len(batch))]
+        out = {"tokens": batch}
+        if with_segments:
+            out["segments"] = segment_ids_np(batch)
+        yield out
+
+
+def batch_split(batch_size: int, proportions: Sequence[float]) -> List[int]:
+    """Per-corpus row counts for one batch (train_encoder.py:120-124)."""
+    split = [int(p * batch_size) for p in proportions]
+    if sum(split) != batch_size:
+        split[-1] += batch_size - sum(split)
+    return split
+
+
+def list_shards(base_dir: str, rel_dirs: Sequence[str]) -> List[List[str]]:
+    """Enumerate .npy shard files per corpus dir (train_encoder.py:95-99)."""
+    out = []
+    for rel in rel_dirs:
+        d = os.path.join(base_dir, rel)
+        out.append(sorted(os.path.join(d, f) for f in os.listdir(d)))
+    return out
+
+
+def build_pipeline(
+    base_dir: str,
+    rel_dirs: Sequence[str],
+    proportions: Sequence[float],
+    *,
+    batch_size: int,
+    ctx_len: int,
+    use_padding: bool = False,
+    banned_tokens: Sequence[int] = (),
+    seed: int = 0,
+    reader_states: Optional[List[ReaderState]] = None,
+):
+    """Wire reader -> packer -> mixture batcher for a corpus mixture.
+
+    Returns (batch_iterator, reader_states) where reader_states are live
+    objects whose contents advance with the stream (checkpoint them).
+    """
+    shard_lists = list_shards(base_dir, rel_dirs)
+    states = reader_states or [
+        ReaderState(seed=seed + 1000 * i) for i in range(len(shard_lists))]
+    readers = [
+        shard_reader(files, banned_tokens, state=st)
+        for files, st in zip(shard_lists, states)]
+    packers = [pack_sequences(r, ctx_len, use_padding) for r in readers]
+    counts = batch_split(batch_size, proportions)
+    return mixture_batches(packers, counts, seed=seed), states

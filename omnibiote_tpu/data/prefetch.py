@@ -1,0 +1,72 @@
+"""Host->device prefetch with a bounded queue.
+
+Equivalent of the reference's loader thread (data_loader_parallel,
+/root/reference/training/loader.py:8-23, wired at train_encoder.py:140-142),
+extended for JAX: batches are placed on device (optionally with a
+NamedSharding for the data-parallel mesh) from a background thread so the
+next batch's H2D copy overlaps the current step's compute.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+
+
+class DevicePrefetcher:
+    """Background thread that device-puts upcoming batches.
+
+    depth=2 matches the reference's Queue(maxsize=2).
+    """
+
+    def __init__(self, batch_iter: Iterator, sharding=None, depth: int = 2):
+        self._iter = batch_iter
+        self._sharding = sharding
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._exc: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _put_device(self, batch):
+        if self._sharding is None:
+            return jax.device_put(batch)
+        return jax.device_put(batch, self._sharding)
+
+    def _worker(self):
+        try:
+            for batch in self._iter:
+                if self._stop.is_set():
+                    return
+                dev_batch = self._put_device(batch)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(dev_batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surfaced on next __next__
+            self._exc = e
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

@@ -11,14 +11,17 @@ from __future__ import annotations
 import functools
 
 import jax.numpy as jnp
+import numpy as np
 
 
 @functools.lru_cache(maxsize=8)
 def _rope_tables_cached(head_dim: int, end: int, theta: float):
-    freqs = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
-    t = jnp.arange(end, dtype=jnp.float32)
-    angles = jnp.outer(t, freqs)  # (end, head_dim//2)
-    return jnp.cos(angles), jnp.sin(angles)
+    # Computed with numpy so the cached values are trace-safe constants
+    # (jnp arrays created under jit would leak tracers via the cache).
+    freqs = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
+    t = np.arange(end, dtype=np.float32)
+    angles = np.outer(t, freqs).astype(np.float32)  # (end, head_dim//2)
+    return np.cos(angles), np.sin(angles)
 
 
 def rope_tables(head_dim: int, end: int, theta: float = 10000.0):
@@ -27,7 +30,8 @@ def rope_tables(head_dim: int, end: int, theta: float = 10000.0):
     Mirrors precompute_freqs_cis (reference model.py:53-61): freqs_cis[t, j] =
     exp(i * t * theta^(-2j/d)); here split into real cos/sin parts.
     """
-    return _rope_tables_cached(int(head_dim), int(end), float(theta))
+    cos, sin = _rope_tables_cached(int(head_dim), int(end), float(theta))
+    return jnp.asarray(cos), jnp.asarray(sin)
 
 
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):

@@ -79,11 +79,16 @@ def attention(
     profitable on TPU; anything else falls back to XLA.
     """
     T = q.shape[1]
-    if impl == "flash" and dropout_rate == 0.0 and not causal and T % 128 == 0:
-        from .flash_attention import flash_attention
-        return flash_attention(
-            q, k, v, segment_ids=segment_ids, scale=scale,
-            block_q=min(block_q, T), block_kv=min(block_kv, T))
+    if impl == "flash" and not causal and T % 128 == 0:
+        try:
+            from .flash_attention import flash_attention
+        except ImportError:
+            flash_attention = None
+        if flash_attention is not None:
+            return flash_attention(
+                q, k, v, segment_ids=segment_ids, scale=scale,
+                dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+                block_q=min(block_q, T), block_kv=min(block_kv, T))
     return xla_attention(
         q, k, v, scale=scale, segment_ids=segment_ids, causal=causal,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng)

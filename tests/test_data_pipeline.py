@@ -1,0 +1,167 @@
+"""Data pipeline tests: packer parity vs the reference, reader invariants,
+mixture determinism, checkpoint/resume of the stream."""
+import sys
+
+import numpy as np
+import pytest
+
+from omnibiote_tpu.config import EOS_TOKEN, PAD_TOKEN
+from omnibiote_tpu.data.loader import (
+    shard_reader, pack_sequences, mixture_batches, batch_split,
+    build_pipeline, ReaderState)
+
+
+def _ref_loader():
+    sys.path.insert(0, "/root/reference/training")
+    import importlib
+    mod = importlib.import_module("loader")
+    sys.path.pop(0)
+    return mod
+
+
+def _synthetic_lines(seed, n, max_len=37):
+    rng = np.random.default_rng(seed)
+    lines = []
+    for _ in range(n):
+        ln = int(rng.integers(1, max_len))
+        arr = rng.integers(4, 1000, size=ln).astype(np.int32)
+        arr[-1] = EOS_TOKEN
+        lines.append(arr)
+    return lines
+
+
+@pytest.mark.parametrize("use_padding", [False, True])
+def test_packer_bitwise_parity_with_reference(use_padding):
+    """pack_sequences reproduces get_sequence (loader.py:118-163) exactly,
+    including its line-dropping edge cases."""
+    ref = _ref_loader()
+    lines = _synthetic_lines(0, 500)
+
+    ours = pack_sequences(iter(lines), ctx_len=32, use_padding=use_padding)
+    theirs = ref.get_sequence(iter(lines), 32, USE_PADDING=use_padding)
+
+    for _ in range(120):
+        try:
+            a = next(ours)
+        except StopIteration:
+            a = None
+        try:
+            b = np.asarray(next(theirs), dtype=np.int32)
+        except (StopIteration, RuntimeError):
+            b = None
+        if a is None or b is None:
+            assert a is None and b is None
+            break
+        assert a.shape == (32,)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_shard_reader_semantics(tmp_path):
+    """Reader yields EOS-delimited sequences with banned tokens stripped,
+    covering every shard each epoch."""
+    rng = np.random.default_rng(1)
+    all_tokens = []
+    files = []
+    banned = 65533
+    for i in range(7):
+        toks = []
+        for _ in range(20):
+            ln = int(rng.integers(1, 20))
+            seq = rng.integers(4, 1000, size=ln)
+            seq[-1] = EOS_TOKEN
+            toks.extend(seq.tolist())
+            if rng.random() < 0.3:
+                toks.append(banned)
+        arr = np.asarray(toks, dtype=np.int32)
+        f = tmp_path / f"shard_{i}.npy"
+        np.save(f, arr)
+        files.append(str(f))
+        all_tokens.append(arr)
+
+    reader = shard_reader(files, banned_tokens=[banned], seed=3, chunk_files=3)
+    got = []
+    # one epoch's worth: count sequences in the corpus
+    n_seqs = sum(int((a == EOS_TOKEN).sum()) for a in all_tokens)
+    # allow for trailing partial sequences per chunk concatenation
+    for _ in range(n_seqs):
+        seq = next(reader)
+        assert seq.dtype == np.int32
+        assert banned not in seq
+        assert len(seq) > 0
+        got.append(seq)
+    # multiset of non-banned tokens is preserved across one epoch (modulo
+    # chunk-boundary partial sequences, which remain valid sequences)
+    total_yielded = sum(len(s) for s in got)
+    total_corpus = sum(int((a[a != banned] != 0).sum()) for a in all_tokens)
+    assert total_yielded == total_corpus
+
+
+def test_mixture_batch_counts_and_determinism():
+    def make_gen(val):
+        def g():
+            while True:
+                yield np.full((8,), val, dtype=np.int32)
+        return g()
+
+    split = batch_split(10, [0.8, 0.2])
+    assert split == [8, 2]
+    b1 = next(mixture_batches([make_gen(1), make_gen(2)], split, seed=5))
+    b2 = next(mixture_batches([make_gen(1), make_gen(2)], split, seed=5))
+    np.testing.assert_array_equal(b1["tokens"], b2["tokens"])
+    assert (b1["tokens"][:, 0] == 1).sum() == 8
+    assert (b1["tokens"][:, 0] == 2).sum() == 2
+    assert b1["segments"].shape == b1["tokens"].shape
+
+
+def test_pipeline_checkpoint_resume(tmp_path):
+    """Restoring ReaderState resumes the stream at a chunk boundary with
+    identical subsequent output."""
+    rng = np.random.default_rng(2)
+    (tmp_path / "c" / "train").mkdir(parents=True)
+    for i in range(6):
+        toks = []
+        for _ in range(30):
+            ln = int(rng.integers(1, 15))
+            seq = rng.integers(4, 100, size=ln)
+            seq[-1] = EOS_TOKEN
+            toks.extend(seq.tolist())
+        np.save(tmp_path / "c" / "train" / f"s{i}.npy",
+                np.asarray(toks, dtype=np.int32))
+
+    def fresh(states=None):
+        return build_pipeline(
+            str(tmp_path), ["c/train"], [1.0], batch_size=4, ctx_len=16,
+            seed=7, reader_states=states)
+
+    it, states = fresh()
+    for _ in range(3):
+        next(it)
+    snap = [ReaderState.from_dict(s.to_dict()) for s in states]
+
+    # continue original
+    ref_next = [next(it)["tokens"] for _ in range(2)]
+
+    # resume from snapshot: the stream must realign at the next chunk
+    # boundary; with 6 files and chunk_files=10 there is 1 chunk per epoch,
+    # so resume replays the current epoch deterministically.
+    it2, _ = fresh(states=snap)
+    out2 = [next(it2)["tokens"] for _ in range(20)]
+    # the continued batches appear within the replayed stream
+    flat_ref = [r.tobytes() for r in ref_next]
+    flat_out = [o.tobytes() for o in out2]
+    assert all(fr in flat_out for fr in flat_ref)
+
+
+def test_prefetcher_yields_device_arrays():
+    import jax
+    from omnibiote_tpu.data.prefetch import DevicePrefetcher
+
+    def gen():
+        for i in range(5):
+            yield {"tokens": np.full((2, 4), i, np.int32)}
+
+    pf = DevicePrefetcher(gen(), depth=2)
+    got = [b["tokens"] for b in pf]
+    assert len(got) == 5
+    assert all(isinstance(g, jax.Array) for g in got)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.full((2, 4), 3))
