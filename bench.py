@@ -1,0 +1,96 @@
+"""Benchmark: omnibiote-small MLM pretraining throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "tokens/sec/chip", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); the driver-set target is
+>=50% MFU on the training step, so vs_baseline = achieved_MFU / 0.50.
+FLOPs/token uses the reference's own analytic formula 6N + 12*L*d*T
+(train_encoder.py:360) against the TPU generation peak.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    import omnibiote_tpu as obt
+    from omnibiote_tpu.config import TrainConfig
+    from omnibiote_tpu.training.train import Trainer
+    from omnibiote_tpu.training.metrics import flops_per_token, mfu
+    from omnibiote_tpu.models.omnibiota import num_params
+    from omnibiote_tpu.ops.segments import segment_ids_np
+
+    n_dev = len(jax.devices())
+    platform = jax.devices()[0].platform
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+
+    # omnibiote-small: 8L / 1024d / 8h, ctx 1024 (README.md:63)
+    ctx = 1024
+    model_cfg = obt.OmniBioTAConfig(
+        n_layer=8, n_embd=1024, n_head=8, block_size=ctx,
+        vocab_size=2 ** 16, dropout=0.1, attn_impl="flash",
+        compute_dtype="bfloat16")
+    mini = int(os.environ.get("BENCH_MINI_BATCH", "8"))
+    accum = int(os.environ.get("BENCH_ACCUM", "4"))
+    batch = mini * accum * n_dev
+    train_cfg = TrainConfig(
+        batch_size=batch, mini_batch_size=mini, ctx_len=ctx,
+        token_budget=float(batch * ctx * 10000), seed=0)
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            toks = rng.integers(20, 65000, size=(batch, ctx)).astype(np.int32)
+            # sprinkle EOS so segment masking is exercised
+            for r in range(batch):
+                pos = rng.integers(32, ctx, size=3)
+                toks[r, pos] = obt.EOS_TOKEN
+            yield {"tokens": toks, "segments": segment_ids_np(toks)}
+
+    trainer = Trainer(model_cfg, train_cfg, batch_iter=batches())
+
+    # warmup (compile)
+    for _ in range(2):
+        m = trainer.train_step_once()
+    jax.block_until_ready(m["loss"])
+
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    tokens = 0
+    t0 = time.time()
+    for _ in range(steps):
+        m = trainer.train_step_once()
+        tokens += int(m["num_tokens"])
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+
+    tps = tokens / dt
+    tps_chip = tps / n_dev
+    n_body = num_params(trainer.params, non_embedding=True)
+    fpt = flops_per_token(n_body, model_cfg.n_layer, model_cfg.n_embd, ctx)
+    achieved_mfu = mfu(tps, fpt, n_chips=n_dev, generation=gen)
+
+    print(json.dumps({
+        "metric": "omnibiote-small MLM pretrain tokens/sec/chip (ctx 1024, bf16)",
+        "value": round(tps_chip, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(achieved_mfu / 0.50, 4),
+        "detail": {
+            "mfu": round(achieved_mfu, 4),
+            "platform": platform,
+            "tpu_gen": gen,
+            "n_devices": n_dev,
+            "global_batch": batch,
+            "steps": steps,
+            "flops_per_token": fpt,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

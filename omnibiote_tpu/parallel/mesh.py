@@ -1,0 +1,59 @@
+"""Device mesh and sharding layout.
+
+Replaces the reference's torchrun/NCCL/Gloo distributed stack
+(/root/reference/training/train_encoder.py:103-118,181-185) with a single
+GSPMD mesh: the global batch is sharded over the 'data' axis, parameters and
+optimizer state are replicated (DDP-equivalent), and gradient synchronisation
+is one XLA all-reduce per *step* (accumulation-local grads), not one per
+micro-step like the reference's DDP-without-no_sync (train_encoder.py:308,
+SURVEY.md C21c).
+
+Scalar metrics (loss, token counts) ride the same mesh as jnp reductions —
+no second Gloo-style backend (train_encoder.py:334-336 gathers Python objects
+on CPU every step).
+
+A 'model' axis is reserved for tensor-parallel extensions; with
+mesh_shape=None everything lands on 'data'.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
+              axis_names: Sequence[str] = (DATA_AXIS,),
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if mesh_shape is None:
+        mesh_shape = (len(devices),)
+        axis_names = (DATA_AXIS,)
+    assert np.prod(mesh_shape) == len(devices), (
+        f"mesh shape {mesh_shape} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, batch_dim: int = 0) -> NamedSharding:
+    """Shard dimension `batch_dim` over the data axis, replicate the rest."""
+    spec = [None] * ndim
+    spec[batch_dim] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch_pytree(mesh: Mesh, batch: dict, batch_dim: int = 0) -> dict:
+    """device_put a host batch dict with the batch dim sharded over data."""
+    return {
+        k: jax.device_put(v, batch_sharding(mesh, v.ndim, batch_dim))
+        for k, v in batch.items()
+    }

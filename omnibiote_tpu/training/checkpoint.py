@@ -1,0 +1,166 @@
+"""Pytree checkpointing: params + optimizer state + step + data stream.
+
+Replaces the reference's whole-pickled-module torch.save trio
+(/root/reference/training/train_encoder.py:412-423): here a checkpoint is a
+directory of flat .npz arrays plus a meta.json, fully framework-neutral and
+safe to load without executing pickled code. Improvements over the reference:
+  * optimizer state and schedule position resume exactly (the reference
+    rebuilds a LinearLR whose start factor is trained/budget,
+    train_encoder.py:220 — a resume at 90% restarts at 90% of peak LR);
+  * the data stream position (ReaderState per corpus) is checkpointed
+    (the reference reshuffles from scratch, SURVEY.md §5).
+
+Rotation matches the reference: after a successful save the previous
+checkpoint trio is deleted (train_encoder.py:417-420).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, List, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            out.update(_flatten(tree[k], f"{prefix}{k}/"))
+        return out
+    if isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+        return out
+    out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_pytree(path: str, tree) -> None:
+    flat = _flatten(tree)
+    np.savez(path, **flat)
+
+
+def load_pytree_flat(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def restore_like(template, flat: Dict[str, np.ndarray], prefix=""):
+    """Rebuild arrays into the structure of `template`."""
+    if isinstance(template, dict):
+        return {k: restore_like(v, flat, f"{prefix}{k}/")
+                for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        vals = [restore_like(v, flat, f"{prefix}{i}/")
+                for i, v in enumerate(template)]
+        return type(template)(vals) if not hasattr(template, "_fields") \
+            else type(template)(*vals)
+    key = prefix[:-1]
+    arr = flat[key]
+    if hasattr(template, "dtype"):
+        import jax.numpy as jnp
+        return jnp.asarray(arr, dtype=template.dtype)
+    # python scalar leaves (e.g. optax counts stored as arrays)
+    return type(template)(arr) if not isinstance(template, np.ndarray) else arr
+
+
+def checkpoint_dir(save_dir: str, save_name: str, tokens: int) -> str:
+    return os.path.join(save_dir, f"{save_name}_{tokens}")
+
+
+def save_checkpoint(trainer, final: bool = False) -> str:
+    tc = trainer.train_cfg
+    tokens = int(trainer.trained_tokens)
+    name = tc.save_name if final else f"{tc.save_name}_{tokens}"
+    path = os.path.join(tc.save_dir, name)
+    tmp = path + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+
+    params_host = jax.device_get(trainer.params)
+    opt_host = jax.device_get(trainer.opt_state)
+    save_pytree(os.path.join(tmp, "params.npz"), params_host)
+    save_pytree(os.path.join(tmp, "opt_state.npz"),
+                _optstate_to_tree(opt_host))
+    meta = {
+        "step": trainer.step,
+        "trained_tokens": tokens,
+        "total_iters": trainer.total_iters,
+        "rng": np.asarray(jax.random.key_data(trainer.rng)
+                          if jax.dtypes.issubdtype(trainer.rng.dtype, jax.dtypes.prng_key)
+                          else trainer.rng).tolist(),
+        "reader_states": [s.to_dict() for s in trainer.reader_states],
+        "model_cfg": {k: v for k, v in vars(trainer.model_cfg).items()},
+        "train_cfg": {k: (v if not isinstance(v, tuple) else list(v))
+                      for k, v in vars(trainer.train_cfg).items()},
+    }
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+    # rotate: delete previous non-final checkpoint (reference behaviour)
+    prev = getattr(trainer, "_last_ckpt_path", None)
+    if prev and prev != path and os.path.exists(prev) and not final:
+        shutil.rmtree(prev)
+    trainer._last_ckpt_path = path
+    return path
+
+
+def _optstate_to_tree(opt_state):
+    """optax states are namedtuples; convert to nested lists/dicts of leaves
+    via jax.tree flatten with structure kept separately at restore time."""
+    leaves = jax.tree.leaves(opt_state)
+    return {str(i): leaf for i, leaf in enumerate(leaves)}
+
+
+def _optstate_from_tree(template_state, flat_leaves: Dict[str, np.ndarray]):
+    import jax.numpy as jnp
+    leaves, treedef = jax.tree.flatten(template_state)
+    new_leaves = []
+    for i, leaf in enumerate(leaves):
+        arr = flat_leaves[str(i)]
+        new_leaves.append(jnp.asarray(arr, dtype=leaf.dtype)
+                          if hasattr(leaf, "dtype") else arr)
+    return jax.tree.unflatten(treedef, new_leaves)
+
+
+def restore_into_trainer(trainer, path: str) -> None:
+    import jax.numpy as jnp
+    from ..data.loader import ReaderState
+
+    flat = load_pytree_flat(os.path.join(path, "params.npz"))
+    trainer.params = restore_like(jax.device_get(trainer.params), flat)
+    trainer.params = jax.tree.map(jnp.asarray, trainer.params)
+
+    opt_flat = load_pytree_flat(os.path.join(path, "opt_state.npz"))
+    opt_flat = {k: v for k, v in opt_flat.items()}
+    trainer.opt_state = _optstate_from_tree(trainer.opt_state, opt_flat)
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    trainer.step = int(meta["step"])
+    trainer.trained_tokens = int(meta["trained_tokens"])
+    rng = np.asarray(meta["rng"], dtype=np.uint32)
+    trainer.rng = jnp.asarray(rng)
+    trainer.reader_states = [
+        ReaderState.from_dict(d) for d in meta["reader_states"]]
+    trainer._last_ckpt_path = path
+
+
+def latest_checkpoint(save_dir: str, save_name: str) -> str | None:
+    if not os.path.isdir(save_dir):
+        return None
+    best, best_tok = None, -1
+    for d in os.listdir(save_dir):
+        full = os.path.join(save_dir, d)
+        if not os.path.isdir(full) or not d.startswith(save_name):
+            continue
+        suffix = d[len(save_name):].lstrip("_")
+        tok = int(suffix) if suffix.isdigit() else 0
+        if tok > best_tok:
+            best, best_tok = full, tok
+    return best

@@ -1,0 +1,103 @@
+"""Masked-language-model objective.
+
+Reference semantics (/root/reference/training/train_encoder.py:273-311):
+  * Bernoulli mask at p=0.15; PAD and EOS never masked
+  * masked positions replaced with MASK_TOKEN (no 80/10/10 split)
+  * cross-entropy restricted to masked positions, normalised by the
+    micro-batch's masked count, then divided by the accumulation count
+
+TPU-native differences:
+  * masking happens on device from a per-step PRNG (the reference draws a
+    host numpy binomial and ships it over PCIe each step)
+  * the LM head is evaluated only at masked positions: each row's masked
+    positions are compacted into a fixed-capacity buffer (T//4 slots; at
+    p=0.15 the chance of overflow at T=1024 is a >8-sigma event), so the
+    D x V readout matmul runs on ~15% of positions instead of all of them —
+    at vocab 65536 the head dominates per-token FLOPs, so this cuts total
+    step FLOPs by roughly a third versus the reference's full-logits CE.
+    Overflowing positions (never in practice) simply drop out of the loss.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EOS_TOKEN, MASK_TOKEN, PAD_TOKEN, OmniBioTAConfig
+from ..models.omnibiota import forward
+
+
+def make_mlm_mask(rng: jax.Array, tokens: jnp.ndarray,
+                  mask_prob: float = 0.15) -> jnp.ndarray:
+    """Bernoulli(p) mask excluding PAD and EOS (train_encoder.py:276-278)."""
+    bern = jax.random.bernoulli(rng, mask_prob, tokens.shape)
+    return bern & (tokens != PAD_TOKEN) & (tokens != EOS_TOKEN)
+
+
+def apply_mlm_mask(tokens: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(mask, MASK_TOKEN, tokens)
+
+
+def _gather_masked(emb: jnp.ndarray, tokens: jnp.ndarray, mask: jnp.ndarray,
+                   capacity: int):
+    """Compact each row's masked positions into `capacity` slots.
+
+    Returns (gathered_emb (B, cap, D), labels (B, cap), valid (B, cap)).
+    Per-row compaction keeps the batch dimension local to its shard — no
+    cross-device gather under the data-parallel jit.
+    """
+    B, T = tokens.shape
+    # Stable argsort of ~mask puts masked positions first, in order.
+    order = jnp.argsort(~mask, axis=-1, stable=True)[:, :capacity]  # (B, cap)
+    valid = jnp.take_along_axis(mask, order, axis=-1)
+    labels = jnp.take_along_axis(tokens, order, axis=-1)
+    gathered = jnp.take_along_axis(emb, order[:, :, None], axis=1)
+    return gathered, labels, valid
+
+
+def mlm_loss(
+    params: dict,
+    cfg: OmniBioTAConfig,
+    tokens: jnp.ndarray,            # (B, T) original ids
+    segment_ids: Optional[jnp.ndarray],
+    rng: jax.Array,                 # consumed for mask + dropout
+    *,
+    mask_prob: float = 0.15,
+    deterministic: bool = False,
+    capacity_frac: float = 0.25,
+) -> Tuple[jnp.ndarray, dict]:
+    """Masked-mean cross-entropy for one micro-batch.
+
+    Returns (loss, aux) where loss = sum_masked CE / masked_count (the
+    reference's per-micro-batch normalisation, train_encoder.py:301-305) and
+    aux carries masked_count and non-PAD token count for metrics.
+    """
+    rng_mask, rng_drop = jax.random.split(rng)
+    mask = make_mlm_mask(rng_mask, tokens, mask_prob)
+    masked_ids = apply_mlm_mask(tokens, mask)
+
+    emb = forward(params, cfg, masked_ids, segment_ids=segment_ids,
+                  deterministic=deterministic, rng=rng_drop,
+                  return_embeddings=True)
+
+    T = tokens.shape[1]
+    capacity = max(int(T * capacity_frac), 8)
+    g_emb, labels, valid = _gather_masked(emb, tokens, mask, capacity)
+
+    # µP readout on the compacted positions only.
+    scale = jnp.asarray(cfg.mup_output_mult / cfg.width_mult, dtype=g_emb.dtype)
+    logits = (g_emb * scale) @ params["lm_head"].astype(g_emb.dtype)
+
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+
+    masked_count = jnp.sum(valid)
+    loss = jnp.sum(nll) / jnp.maximum(masked_count, 1)
+    aux = {
+        "masked_count": masked_count,
+        "num_tokens": jnp.sum(tokens != PAD_TOKEN),
+    }
+    return loss, aux

@@ -1,0 +1,291 @@
+"""MLM pretraining loop: GSPMD data parallel with accumulation-local grads.
+
+Re-design of /root/reference/training/train_encoder.py:
+  * one jit-compiled train_step over a device mesh replaces
+    torchrun + DDP + Gloo side-channel; gradients sync once per step
+    (the reference all-reduces every micro-step: no no_sync(),
+    train_encoder.py:308);
+  * gradient accumulation is a lax.scan over a fixed number of micro-batches
+    with per-micro-batch activity weights — the batch-size ramp
+    (train_encoder.py:245-255) varies the number of *active* micro-batches
+    while shapes (and hence the compiled program) stay constant;
+  * MLM masking happens on device from a folded-in PRNG;
+  * metrics (loss, token counts) come out of the same jit as device scalars.
+
+The CLI mirrors the reference flags (train_encoder.py:438-466); see
+TrainConfig.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import OmniBioTAConfig, TrainConfig, PAD_TOKEN
+from ..parallel.mesh import make_mesh, batch_sharding, shard_batch_pytree
+from .mlm import mlm_loss
+from .optim import make_optimizer, scaled_lr, linear_decay
+
+
+# --------------------------------------------------------------------------
+# Step construction
+# --------------------------------------------------------------------------
+
+def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
+                    optimizer):
+    """Build the jitted train step.
+
+    Signature of the returned fn:
+      (params, opt_state, tokens (A, B, T), segments (A, B, T),
+       micro_weights (A,), rng, step) -> (params, opt_state, metrics)
+
+    A = total accumulation slots (batch_size // mini_batch_size // n_hosts);
+    micro_weights holds 1.0 for active slots (batch ramp) and 0.0 otherwise.
+    """
+
+    def micro_grad(params, tokens, segments, rng):
+        def loss_fn(p):
+            return mlm_loss(p, model_cfg, tokens, segments, rng,
+                            mask_prob=train_cfg.mask_prob,
+                            deterministic=model_cfg.dropout == 0.0)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, aux, grads
+
+    def train_step(params, opt_state, tokens, segments, micro_weights, rng,
+                   step):
+        A = tokens.shape[0]
+        rngs = jax.vmap(lambda i: jax.random.fold_in(
+            jax.random.fold_in(rng, step), i))(jnp.arange(A))
+
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+
+        def body(carry, xs):
+            acc_grads, acc_loss, acc_masked, acc_tok = carry
+            t, s, w, r = xs
+            loss, aux, grads = micro_grad(params, t, s, r)
+            acc_grads = jax.tree.map(
+                lambda a, g: a + w * g.astype(jnp.float32), acc_grads, grads)
+            return (
+                acc_grads,
+                acc_loss + w * loss,
+                acc_masked + w * aux["masked_count"],
+                acc_tok + (w > 0) * aux["num_tokens"],
+            ), None
+
+        (grads, loss_sum, masked, tokens_seen), _ = jax.lax.scan(
+            body,
+            (zero_grads, jnp.float32(0), jnp.float32(0), jnp.int32(0)),
+            (tokens, segments, micro_weights, rngs),
+        )
+        n_active = jnp.maximum(jnp.sum(micro_weights), 1.0)
+        grads = jax.tree.map(lambda g: g / n_active, grads)
+        mean_loss = loss_sum / n_active
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u: (p.astype(jnp.float32) + u).astype(p.dtype),
+            params, updates)
+        metrics = {
+            "loss": mean_loss,
+            "masked_tokens": masked,
+            "num_tokens": tokens_seen,
+            "grad_norm": optax_global_norm(grads),
+        }
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree):
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)))
+
+
+def make_eval_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig):
+    """Validation-loss probe (train_encoder.py:371-410): same masked CE, no
+    dropout, no grads."""
+    eval_cfg = model_cfg.replace(dropout=0.0)
+
+    def eval_step(params, tokens, segments, rng):
+        loss, aux = mlm_loss(params, eval_cfg, tokens, segments, rng,
+                             mask_prob=train_cfg.mask_prob,
+                             deterministic=True)
+        return loss, aux["masked_count"]
+
+    return eval_step
+
+
+# --------------------------------------------------------------------------
+# Batch ramp (reference semantics, train_encoder.py:245-255)
+# --------------------------------------------------------------------------
+
+def effective_batch_size(step: int, total_iters: int, train_cfg: TrainConfig,
+                         global_micro: Optional[int] = None) -> int:
+    """Global effective batch for this step. The reference computes the ramp
+    per process in units of mini_batch_size (train_encoder.py:245-255); this
+    is the same curve expressed globally, in units of the global micro-batch
+    (mini_batch_size * n_devices)."""
+    bs = train_cfg.batch_size
+    mbs = global_micro or train_cfg.mini_batch_size
+    if not train_cfg.batch_ramp:
+        return bs
+    ramp = int(step / (total_iters * train_cfg.warmup_period) * bs)
+    eff = min((ramp // mbs) * mbs + mbs, bs)
+    return (eff // mbs) * mbs
+
+
+# --------------------------------------------------------------------------
+# Trainer
+# --------------------------------------------------------------------------
+
+class Trainer:
+    """End-to-end MLM pretraining driver.
+
+    Owns: mesh, params, optimizer state, data iterator, checkpoints, metrics.
+    """
+
+    def __init__(self, model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
+                 batch_iter=None, reader_states=None, mesh=None,
+                 metrics_sink=None, init_rng: Optional[jax.Array] = None):
+        from ..models.omnibiota import init_params
+
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.mesh = mesh or make_mesh()
+        self.n_dev = int(np.prod([d for d in self.mesh.devices.shape]))
+
+        tc = train_cfg
+        # mini_batch_size is per-device (the reference's per-process micro
+        # batch); one accumulation slot processes mini * n_devices rows.
+        self.global_micro = tc.mini_batch_size * self.n_dev
+        assert tc.batch_size % self.global_micro == 0, (
+            f"batch_size {tc.batch_size} must divide by mini_batch_size *"
+            f" n_devices = {self.global_micro}")
+        self.accum_slots = tc.batch_size // self.global_micro
+        self.total_iters = int(
+            tc.token_budget / (tc.batch_size * tc.ctx_len))
+
+        rng = init_rng if init_rng is not None else jax.random.PRNGKey(tc.seed)
+        self.rng, init_key = jax.random.split(rng)
+        self.params = init_params(init_key, model_cfg)
+        self.optimizer = make_optimizer(
+            self.params, model_cfg, tc, self.total_iters)
+        self.opt_state = self.optimizer.init(self.params)
+
+        self.step = 0
+        self.trained_tokens = 0
+        self.batch_iter = batch_iter
+        self.reader_states = reader_states or []
+        self.metrics_sink = metrics_sink
+        self._grand: Optional[np.ndarray] = None      # leftover rows (tokens)
+        self._grand_seg: Optional[np.ndarray] = None
+
+        step_fn = make_train_step(model_cfg, tc, self.optimizer)
+        self._train_step = jax.jit(step_fn, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(make_eval_step(model_cfg, tc))
+
+    # -- data staging ------------------------------------------------------
+
+    def _next_rows(self, n: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Pull n rows (tokens, segments) from the stream, buffering like the
+        reference's grand_batch (train_encoder.py:258-268)."""
+        toks = [] if self._grand is None else [self._grand]
+        segs = [] if self._grand_seg is None else [self._grand_seg]
+        have = 0 if self._grand is None else len(self._grand)
+        while have < n:
+            b = next(self.batch_iter)
+            toks.append(b["tokens"])
+            segs.append(b["segments"])
+            have += len(b["tokens"])
+        toks = np.concatenate(toks) if len(toks) > 1 else toks[0]
+        segs = np.concatenate(segs) if len(segs) > 1 else segs[0]
+        self._grand, self._grand_seg = toks[n:], segs[n:]
+        return toks[:n], segs[:n]
+
+    def _stage(self, eff_bs: int):
+        """Shape one step's input: (A, global_micro, T) with activity weights."""
+        A = self.accum_slots
+        micro = self.global_micro
+        active = eff_bs // micro
+        rows, seg_rows = self._next_rows(eff_bs)
+        T = rows.shape[1]
+        tokens = np.zeros((A, micro, T), np.int32)
+        segments = np.zeros((A, micro, T), np.int32)
+        tokens[:active] = rows.reshape(active, micro, T)
+        segments[:active] = seg_rows.reshape(active, micro, T)
+        if active < A:  # inactive slots: repeat slot 0, weight 0
+            tokens[active:] = tokens[0]
+            segments[active:] = segments[0]
+        weights = np.zeros((A,), np.float32)
+        weights[:active] = 1.0
+        batch = {"tokens": tokens, "segments": segments}
+        batch = shard_batch_pytree(self.mesh, batch, batch_dim=1)
+        return batch, jnp.asarray(weights)
+
+    # -- main loop ---------------------------------------------------------
+
+    def train_step_once(self):
+        eff = effective_batch_size(self.step, self.total_iters,
+                                   self.train_cfg, self.global_micro)
+        batch, weights = self._stage(eff)
+        self.params, self.opt_state, metrics = self._train_step(
+            self.params, self.opt_state, batch["tokens"], batch["segments"],
+            weights, self.rng, jnp.int32(self.step))
+        self.step += 1
+        return metrics
+
+    def run(self, max_steps: Optional[int] = None, on_metrics=None):
+        tc = self.train_cfg
+        base_lr = scaled_lr(tc)
+        sched = linear_decay(base_lr, self.total_iters)
+        last_save = self.trained_tokens
+        last_test = self.trained_tokens
+        end_step = self.total_iters if max_steps is None else min(
+            self.total_iters, self.step + max_steps)
+        while self.step < end_step:
+            t0 = time.time()
+            step_idx = self.step
+            metrics = self.train_step_once()
+            loss = float(metrics["loss"])
+            ntok = int(metrics["num_tokens"])
+            self.trained_tokens += ntok
+            dt = time.time() - t0
+            rec = {
+                "step": step_idx,
+                "loss": loss,
+                "lr": float(sched(step_idx)),
+                "tokens": self.trained_tokens,
+                "tokens_per_sec": ntok / max(dt, 1e-9),
+                "step_time_s": dt,
+                "grad_norm": float(metrics["grad_norm"]),
+            }
+            if self.metrics_sink is not None and step_idx % tc.log_every == 0:
+                self.metrics_sink.log(rec)
+            if on_metrics is not None:
+                on_metrics(rec)
+            if (self.trained_tokens - last_save) > tc.save_freq:
+                self.save_checkpoint()
+                last_save = self.trained_tokens
+        return self.trained_tokens
+
+    # -- eval probe --------------------------------------------------------
+
+    def eval_loss(self, tokens: np.ndarray, segments: np.ndarray) -> float:
+        self.rng, k = jax.random.split(self.rng)
+        loss, _ = self._eval_step(
+            self.params, jnp.asarray(tokens), jnp.asarray(segments), k)
+        return float(loss)
+
+    # -- checkpointing -----------------------------------------------------
+
+    def save_checkpoint(self, final: bool = False):
+        from .checkpoint import save_checkpoint
+        return save_checkpoint(self, final=final)
+
+    def restore_checkpoint(self, path: str):
+        from .checkpoint import restore_into_trainer
+        restore_into_trainer(self, path)

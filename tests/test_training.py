@@ -1,0 +1,161 @@
+"""Training loop tests on the 8-device virtual CPU mesh: sharded step,
+MLM convergence, batch ramp, checkpoint/resume equivalence."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from omnibiote_tpu import OmniBioTAConfig, TrainConfig, EOS_TOKEN
+from omnibiote_tpu.training.train import (
+    Trainer, effective_batch_size)
+from omnibiote_tpu.training.mlm import make_mlm_mask, mlm_loss
+from omnibiote_tpu.parallel.mesh import make_mesh
+
+
+MODEL = OmniBioTAConfig(
+    n_layer=2, n_head=2, n_embd=32, vocab_size=64, block_size=32,
+    dropout=0.0, attn_impl="xla", compute_dtype="float32",
+    mup_base_n_embd=16)
+
+
+def synth_batches(batch_size, ctx_len, vocab=64, seed=0):
+    """Infinite stream of structured batches: token t+1 follows t within
+    segments, so MLM is learnable."""
+    rng = np.random.default_rng(seed)
+
+    def gen():
+        while True:
+            rows = []
+            for _ in range(batch_size):
+                row = []
+                while len(row) < ctx_len:
+                    start = int(rng.integers(4, vocab - 12))
+                    ln = int(rng.integers(4, 10))
+                    row.extend(range(start, start + ln))
+                    row.append(EOS_TOKEN)
+                rows.append(row[:ctx_len])
+            toks = np.asarray(rows, np.int32)
+            from omnibiote_tpu.ops.segments import segment_ids_np
+            yield {"tokens": toks, "segments": segment_ids_np(toks)}
+
+    return gen()
+
+
+def test_mlm_mask_semantics():
+    rng = jax.random.PRNGKey(0)
+    toks = jnp.asarray([[1, 3, 5, 5, 5, 5, 5, 5]], jnp.int32)  # PAD, EOS, data
+    mask = make_mlm_mask(rng, jnp.tile(toks, (64, 1)), mask_prob=0.5)
+    m = np.asarray(mask)
+    assert not m[:, 0].any()  # PAD never masked
+    assert not m[:, 1].any()  # EOS never masked
+    frac = m[:, 2:].mean()
+    assert 0.3 < frac < 0.7
+
+
+def test_mlm_loss_matches_full_logits():
+    """The compacted-gather CE equals a dense full-logits masked CE."""
+    params_rng = jax.random.PRNGKey(1)
+    from omnibiote_tpu.models.omnibiota import init_params, forward
+    params = init_params(params_rng, MODEL)
+    batch = next(synth_batches(4, 32))
+    toks = jnp.asarray(batch["tokens"])
+    segs = jnp.asarray(batch["segments"])
+    rng = jax.random.PRNGKey(2)
+
+    loss, aux = mlm_loss(params, MODEL, toks, segs, rng, deterministic=True)
+
+    # dense reference
+    rng_mask, _ = jax.random.split(rng)
+    mask = make_mlm_mask(rng_mask, toks, 0.15)
+    masked = jnp.where(mask, 2, toks)
+    emb = forward(params, MODEL, masked, segment_ids=segs,
+                  return_embeddings=True)
+    scale = MODEL.mup_output_mult / MODEL.width_mult
+    logits = (emb * scale) @ params["lm_head"]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, toks[..., None], axis=-1)[..., 0]
+    dense = jnp.sum(jnp.where(mask, nll, 0)) / jnp.maximum(mask.sum(), 1)
+
+    np.testing.assert_allclose(float(loss), float(dense), rtol=1e-5)
+    assert int(aux["masked_count"]) == int(mask.sum())
+
+
+def test_batch_ramp_schedule():
+    tc = TrainConfig(batch_size=64, mini_batch_size=8, batch_ramp=True,
+                     warmup_period=0.5)
+    sizes = [effective_batch_size(i, 100, tc, global_micro=8)
+             for i in range(0, 101, 10)]
+    assert sizes[0] == 8
+    assert sizes[-1] == 64
+    assert all(a <= b for a, b in zip(sizes, sizes[1:]))
+    assert all(s % 8 == 0 for s in sizes)
+    # no ramp: always full
+    tc2 = tc.replace(batch_ramp=False)
+    assert effective_batch_size(0, 100, tc2, 8) == 64
+
+
+@pytest.fixture(scope="module")
+def trained():
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    tc = TrainConfig(
+        batch_size=32, mini_batch_size=2, ctx_len=32, lr=1e-2,
+        token_budget=32 * 32 * 300, seed=0, save_dir="/tmp/obt_ckpt_test")
+    trainer = Trainer(MODEL, tc, batch_iter=synth_batches(32, 32))
+    losses = []
+    trainer.run(max_steps=60, on_metrics=lambda r: losses.append(r["loss"]))
+    return trainer, losses
+
+
+def test_training_loss_decreases(trained):
+    _, losses = trained
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert last < first * 0.8, (first, last)
+
+
+def test_step_runs_on_mesh(trained):
+    trainer, _ = trained
+    assert trainer.mesh.devices.size == 8
+    # params replicated across the mesh
+    leaf = jax.tree.leaves(trainer.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_checkpoint_resume_exact(trained, tmp_path):
+    """Save, continue 3 steps; restore, continue 3 steps; identical params."""
+    trainer, _ = trained
+    trainer.train_cfg = trainer.train_cfg.replace(save_dir=str(tmp_path))
+    path = trainer.save_checkpoint()
+
+    # branch A: continue in place
+    batches_a = synth_batches(32, 32, seed=99)
+    trainer.batch_iter = batches_a
+    rng_before = np.asarray(trainer.rng)
+    for _ in range(3):
+        trainer.train_step_once()
+    params_a = jax.device_get(trainer.params)
+    step_a = trainer.step
+
+    # branch B: fresh trainer restored from the checkpoint
+    tc = trainer.train_cfg
+    t2 = Trainer(MODEL, tc, batch_iter=synth_batches(32, 32, seed=99))
+    t2.restore_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(t2.rng), rng_before)
+    for _ in range(3):
+        t2.train_step_once()
+    params_b = jax.device_get(t2.params)
+
+    assert t2.step == step_a
+    flat_a = jax.tree.leaves(params_a)
+    flat_b = jax.tree.leaves(params_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_step(trained):
+    trainer, _ = trained
+    batch = next(synth_batches(16, 32, seed=5))
+    loss = trainer.eval_loss(batch["tokens"], batch["segments"])
+    assert np.isfinite(loss) and loss > 0
