@@ -70,8 +70,8 @@ def attention(
     dropout_rate: float = 0.0,
     dropout_rng=None,
     impl: str = "flash",
-    block_q: int = 128,
-    block_kv: int = 128,
+    block_q: int = 512,
+    block_kv: int = 512,
 ):
     """Dispatch to the Pallas flash kernel or the XLA oracle.
 

@@ -1,0 +1,477 @@
+"""Pallas TPU flash attention: bidirectional, segment-id masked, µP-scaled,
+with in-kernel attention-probability dropout and a custom VJP.
+
+Replaces torch SDPA FlashAttention (/root/reference/training/model.py:118,134)
+plus the reference's materialised (B,H,T,T) additive masks
+(train_encoder.py:31-57): the block-diagonal packed-sequence mask is
+reconstructed inside the kernel from O(T) segment ids.
+
+Design (see /opt/skills/guides/pallas_guide.md and the flash-attention notes):
+  * online softmax with fp32 running max / sum / accumulator in VMEM scratch
+  * grid (B, H, Tq/block_q, Tkv/block_kv); the KV axis is the sequential
+    ("arbitrary") reduction dimension, batch/head/q are parallel
+  * mask value -0.7*f32max (not -inf) to avoid exp(-inf - -inf) NaNs
+  * dropout via the TPU PRNG, seeded per (batch, head, q-block, kv-block) so
+    forward and backward regenerate the identical keep-mask without storing it
+  * backward = two kernels (dkv with q as the reduction axis, dq with kv),
+    using the saved logsumexp residual; di = sum(o * do) precomputed
+
+Numerics: softmax statistics in fp32; q/k/v may be bf16; output cast to the
+input dtype. The (uncommon) fully-masked row degenerates to zero output
+(reference behaviour for PAD rows differs — uniform attention — but those
+rows are never consumed; see ops/segments.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+import contextlib
+
+
+def _interpret_ctx():
+    # On the CPU backend, run kernels under the TPU interpreter (tests,
+    # oracles). Note the interpreter's PRNG ignores prng_seed, so dropout
+    # draws a fixed stream on CPU — identical in fwd/bwd, seed-dependent
+    # only on real TPUs.
+    if jax.default_backend() == "cpu":
+        return pltpu.force_tpu_interpret_mode()
+    return contextlib.nullcontext()
+
+
+def _dropout_keep(shape, rate: float, seed_base, unique):
+    """Deterministic keep-mask from the in-kernel PRNG.
+
+    seed_base: scalar int32 (per-call seed); unique: scalar int32 that is
+    distinct per (b, h, q_blk, kv_blk) so every tile draws independent bits,
+    and identical between forward and backward.
+    """
+    pltpu.prng_seed(seed_base + unique)
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    # keep iff bits/2^32 >= rate  <=>  bits >= rate * 2^32
+    thresh = jnp.uint32(min(int(rate * (2.0 ** 32)), 2 ** 32 - 1))
+    return pltpu.bitcast(bits, jnp.uint32) >= thresh
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+                o_ref, lse_ref,
+                m_scr, l_scr, acc_scr,
+                *, scale, block_q, block_kv, kv_len, dropout_rate):
+    kv_idx = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]                    # (block_q, d)
+    k = k_ref[0, 0]                    # (block_kv, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (block_q, block_kv)
+    s = s * scale
+
+    qseg = qseg_ref[0]                 # (block_q, 1) int32
+    kseg = kseg_ref[0]                 # (1, block_kv)
+    mask = qseg == kseg
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+    m_prev = m_scr[...]                # (block_q, 1) fp32
+    l_prev = l_scr[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)            # (block_q, block_kv)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[...] = m_next
+    l_scr[...] = l_next
+
+    if dropout_rate > 0.0:
+        b, h, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        nh, nq = pl.num_programs(1), pl.num_programs(2)
+        unique = ((b * nh + h) * nq + qi) * n_kv + kv_idx
+        keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0], unique)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+
+    v = v_ref[0, 0]                    # (block_kv, d)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        l_fin = l_scr[...]
+        l_inv = jnp.where(l_fin == 0.0, 0.0, 1.0 / l_fin)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        # logsumexp residual for the backward pass
+        m_fin = m_scr[...]
+        lse = m_fin + jnp.log(jnp.where(l_fin == 0.0, 1.0, l_fin))
+        lse_ref[0, 0] = lse.astype(jnp.float32)
+
+
+def _fwd(q, k, v, q_seg, kv_seg, seed, *, scale, block_q, block_kv,
+         dropout_rate):
+    """q,k,v: (B, H, T, D); segs: (B, T) int32. Returns (o, lse)."""
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+    grid = (B, H, Tq // block_q, Tk // block_kv)
+
+    qseg2 = q_seg[:, :, None].astype(jnp.int32)     # (B, Tq, 1)
+    kseg2 = kv_seg[:, None, :].astype(jnp.int32)    # (B, 1, Tk)
+    seed_arr = jnp.asarray([seed], jnp.int32) if jnp.ndim(seed) == 0 \
+        else seed.astype(jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, block_q=block_q, block_kv=block_kv,
+        kv_len=Tk, dropout_rate=dropout_rate)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H, Tq, D), q.dtype),
+        jax.ShapeDtypeStruct((B, H, Tq, 1), jnp.float32),
+    ]
+    with _interpret_ctx():
+        o, lse = _fwd_call(kernel, grid, B, H, Tq, Tk, D, block_q, block_kv,
+                           out_shape, seed_arr, q, k, v, qseg2, kseg2)
+    return o, lse
+
+
+def _fwd_call(kernel, grid, B, H, Tq, Tk, D, block_q, block_kv, out_shape,
+              seed_arr, q, k, v, qseg2, kseg2):
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, qi, ki, *_: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, qi, ki, *_: (b, h, ki, 0)),
+                pl.BlockSpec((1, block_q, 1),
+                             lambda b, h, qi, ki, *_: (b, qi, 0)),
+                pl.BlockSpec((1, 1, block_kv),
+                             lambda b, h, qi, ki, *_: (b, 0, ki)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(seed_arr, q, k, v, qseg2, kseg2)
+
+
+# ---------------------------------------------------------------------------
+# Backward: dK, dV  (grid over kv blocks; q is the reduction axis)
+# ---------------------------------------------------------------------------
+
+def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref, lse_ref,
+                    do_ref, di_ref,
+                    dk_ref, dv_ref,
+                    dk_scr, dv_scr,
+                    *, scale, dropout_rate):
+    q_idx = pl.program_id(3)
+    n_q = pl.num_programs(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]                    # (block_q, d)
+    k = k_ref[0, 0]                    # (block_kv, d)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (block_q, block_kv)
+    s = s * scale
+    mask = qseg_ref[0] == kseg_ref[0]
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+    lse = lse_ref[0, 0]                # (block_q, 1)
+    p = jnp.exp(s - lse)               # softmax probs (pre-dropout)
+
+    do = do_ref[0, 0].astype(jnp.float32)  # (block_q, d)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (block_q, block_kv)
+
+    if dropout_rate > 0.0:
+        b, h, kv_i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        nh, nq = pl.num_programs(1), n_q
+        n_kv = pl.num_programs(2)
+        unique = ((b * nh + h) * nq + q_idx) * n_kv + kv_i
+        keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0], unique)
+        inv = 1.0 / (1.0 - dropout_rate)
+        p_drop = jnp.where(keep, p * inv, 0.0)   # dropout(P), for dV
+        dp = jnp.where(keep, dp * inv, 0.0)      # mask folds into dP
+    else:
+        p_drop = p
+
+    # dV += dropout(P)^T @ dO
+    dv_scr[...] += jax.lax.dot_general(
+        p_drop, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dS = P * (mask(dP) - di); di = rowsum(o * do)
+    di = di_ref[0, 0]                  # (block_q, 1)
+    ds = p * (dp - di) * scale
+    # dK += dS^T @ Q
+    dk_scr[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == n_q - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref, lse_ref,
+                   do_ref, di_ref,
+                   dq_ref,
+                   dq_scr,
+                   *, scale, dropout_rate):
+    kv_idx = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s * scale
+    mask = qseg_ref[0] == kseg_ref[0]
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse_ref[0, 0])
+
+    do = do_ref[0, 0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    if dropout_rate > 0.0:
+        b, h, q_i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        nh, nq = pl.num_programs(1), pl.num_programs(2)
+        unique = ((b * nh + h) * nq + q_i) * n_kv + kv_idx
+        keep = _dropout_keep(dp.shape, dropout_rate, seed_ref[0], unique)
+        dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
+
+    ds = p * (dp - di_ref[0, 0]) * scale            # (block_q, block_kv)
+    dq_scr[...] += jax.lax.dot(
+        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd(scale, block_q, block_kv, dropout_rate, res, g):
+    q, k, v, q_seg, kv_seg, seed, o, lse = res
+    do, _ = g
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                 axis=-1, keepdims=True)              # (B, H, Tq, 1)
+
+    qseg2 = q_seg[:, :, None].astype(jnp.int32)
+    kseg2 = kv_seg[:, None, :].astype(jnp.int32)
+    seed_arr = jnp.asarray([seed], jnp.int32) if jnp.ndim(seed) == 0 \
+        else seed.astype(jnp.int32).reshape(1)
+
+    # --- dK, dV: grid over kv blocks, reduce over q blocks ---
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, scale=scale, dropout_rate=dropout_rate)
+    with _interpret_ctx():
+        dk, dv = _dkv_call(dkv_kernel, B, H, Tq, Tk, D, block_q, block_kv,
+                           k, v, seed_arr, q, qseg2, kseg2, lse, do, di)
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel, scale=scale, dropout_rate=dropout_rate)
+        dq = _dq_call(dq_kernel, B, H, Tq, Tk, D, block_q, block_kv,
+                      seed_arr, q, k, v, qseg2, kseg2, lse, do, di)
+    return dq, dk, dv, None, None, None
+
+
+def _dkv_call(dkv_kernel, B, H, Tq, Tk, D, block_q, block_kv,
+              k, v, seed_arr, q, qseg2, kseg2, lse, do, di):
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, Tk // block_kv, Tq // block_q),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, ki, qi, *_: (b, h, qi, 0)),   # q
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, ki, qi, *_: (b, h, ki, 0)),   # k
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, ki, qi, *_: (b, h, ki, 0)),   # v
+                pl.BlockSpec((1, block_q, 1),
+                             lambda b, h, ki, qi, *_: (b, qi, 0)),      # qseg
+                pl.BlockSpec((1, 1, block_kv),
+                             lambda b, h, ki, qi, *_: (b, 0, ki)),      # kseg
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b, h, ki, qi, *_: (b, h, qi, 0)),   # lse
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, ki, qi, *_: (b, h, qi, 0)),   # do
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b, h, ki, qi, *_: (b, h, qi, 0)),   # di
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, ki, qi, *_: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, ki, qi, *_: (b, h, ki, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, D), jnp.float32),
+                pltpu.VMEM((block_kv, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(seed_arr, q, k, v, qseg2, kseg2, lse, do, di)
+    return dk, dv
+
+
+def _dq_call(dq_kernel, B, H, Tq, Tk, D, block_q, block_kv,
+             seed_arr, q, k, v, qseg2, kseg2, lse, do, di):
+    # --- dQ: grid over q blocks, reduce over kv blocks ---
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, Tq // block_q, Tk // block_kv),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, qi, ki, *_: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, qi, ki, *_: (b, h, ki, 0)),
+                pl.BlockSpec((1, block_q, 1),
+                             lambda b, h, qi, ki, *_: (b, qi, 0)),
+                pl.BlockSpec((1, 1, block_kv),
+                             lambda b, h, qi, ki, *_: (b, 0, ki)),
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, D),
+                                   lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(seed_arr, q, k, v, qseg2, kseg2, lse, do, di)
+    return dq
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash(q, k, v, q_seg, kv_seg, seed, scale, block_q, block_kv,
+           dropout_rate):
+    o, _ = _fwd(q, k, v, q_seg, kv_seg, seed, scale=scale,
+                block_q=block_q, block_kv=block_kv,
+                dropout_rate=dropout_rate)
+    return o
+
+
+def _flash_fwd(q, k, v, q_seg, kv_seg, seed, scale, block_q, block_kv,
+               dropout_rate):
+    o, lse = _fwd(q, k, v, q_seg, kv_seg, seed, scale=scale,
+                  block_q=block_q, block_kv=block_kv,
+                  dropout_rate=dropout_rate)
+    return o, (q, k, v, q_seg, kv_seg, seed, o, lse)
+
+
+def _flash_bwd(scale, block_q, block_kv, dropout_rate, res, g):
+    return _bwd(scale, block_q, block_kv, dropout_rate, res, (g, None))
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,                     # (B, T, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    segment_ids: Optional[jnp.ndarray] = None,   # (B, T) int32
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    block_q: int = 128,
+    block_kv: int = 128,
+) -> jnp.ndarray:
+    """Flash attention over (B, T, H, D) inputs with segment-id masking.
+
+    segment_ids=None means dense bidirectional attention (every position
+    visible — the encode() path, reference model.py:268).
+    """
+    B, T, H, D = q.shape
+    assert T % block_q == 0 and T % block_kv == 0, (T, block_q, block_kv)
+
+    if segment_ids is None:
+        segment_ids = jnp.zeros((B, T), jnp.int32)
+
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        seed = jax.random.randint(
+            dropout_rng, (), minval=jnp.iinfo(jnp.int32).min,
+            maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    else:
+        seed = jnp.int32(0)
+
+    # kernel layout is (B, H, T, D)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    o = _flash(qt, kt, vt, segment_ids, segment_ids, seed,
+               scale, block_q, block_kv, float(dropout_rate))
+    return o.transpose(0, 2, 1, 3)
