@@ -1,0 +1,128 @@
+"""Pretraining CLI — flag-compatible with the reference
+(/root/reference/training/train_encoder.py:437-467).
+
+    python -m omnibiote_tpu.training.cli --base_dir /data --train_type mixed \
+        --banned_token 65533 --n_layer 8 --n_head 8 --ctx_len 1024 ...
+
+Replaces `torchrun train_encoder.py`: no process-per-device launch — one
+process drives the whole jax.sharding mesh.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..config import OmniBioTAConfig, TrainConfig
+from ..data.loader import build_pipeline
+from ..data.prefetch import DevicePrefetcher
+from .metrics import JsonlSink, WandbSink, MultiSink
+from .train import Trainer
+from .checkpoint import latest_checkpoint
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="OmniBioTA MLM pretraining (TPU)")
+    # reference flags (train_encoder.py:438-466), same names and defaults
+    p.add_argument("--batch_size", type=int, default=1024,
+                   help="The total batch size across all devices")
+    p.add_argument("--mini_batch_size", type=int, default=8,
+                   help="Per-device micro batch for gradient accumulation")
+    p.add_argument("--n_head", type=int, default=8)
+    p.add_argument("--n_embd", type=int, default=1024)
+    p.add_argument("--n_layer", type=int, default=8)
+    p.add_argument("--ctx_len", type=int, default=2048)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999)
+    p.add_argument("--epsilon", type=float, default=1e-8)
+    p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--token_budget", type=float, default=20e9)
+    p.add_argument("--test_freq", type=float, default=1e7)
+    p.add_argument("--save_freq", type=float, default=1e9)
+    p.add_argument("--save_name", type=str, default="omnibiota")
+    p.add_argument("--disable_flash", action="store_true", default=False)
+    p.add_argument("--wandb_project_name", type=str, default="omnibiota")
+    p.add_argument("--base_dir", type=str, default="")
+    p.add_argument("--force_lr", action="store_true", default=False)
+    p.add_argument("--checkpoint_freq", type=int, default=0)
+    p.add_argument("--banned_token", type=int, default=None)
+    p.add_argument("--warmup_period", type=float, default=0.05)
+    p.add_argument("--batch_ramp", action="store_true", default=False)
+    p.add_argument("--train_type", type=str, default="mixed")
+    p.add_argument("--use_padding", action="store_true", default=False)
+    p.add_argument("--resume_from", type=int, default=0,
+                   help="Token count to resume from (0 = fresh; -1 = latest)")
+    # TPU-native additions
+    p.add_argument("--save_dir", type=str, default="checkpoints")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--metrics_jsonl", type=str, default=None)
+    p.add_argument("--wandb", action="store_true", default=False)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    model_cfg = OmniBioTAConfig(
+        block_size=args.ctx_len, vocab_size=2 ** 16, n_layer=args.n_layer,
+        n_head=args.n_head, n_embd=args.n_embd, dropout=args.dropout,
+        checkpoint_freq=args.checkpoint_freq,
+        attn_impl="xla" if args.disable_flash else "flash")
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, mini_batch_size=args.mini_batch_size,
+        ctx_len=args.ctx_len, lr=args.lr, beta1=args.beta1, beta2=args.beta2,
+        epsilon=args.epsilon, weight_decay=args.weight_decay,
+        token_budget=args.token_budget, test_freq=args.test_freq,
+        save_freq=args.save_freq, save_name=args.save_name,
+        save_dir=args.save_dir, force_lr=args.force_lr,
+        banned_token=args.banned_token, warmup_period=args.warmup_period,
+        batch_ramp=args.batch_ramp, train_type=args.train_type,
+        use_padding=args.use_padding, resume_from=args.resume_from,
+        base_dir=args.base_dir, seed=args.seed)
+
+    train_dirs, val_dirs, val_names, proportions = train_cfg.mixture
+    banned = [args.banned_token] if args.banned_token is not None else []
+
+    batch_iter, reader_states = build_pipeline(
+        args.base_dir, train_dirs, proportions,
+        batch_size=args.batch_size, ctx_len=args.ctx_len,
+        use_padding=args.use_padding, banned_tokens=banned, seed=args.seed)
+
+    val_iters = {}
+    for name, vdir in zip(val_names, val_dirs):
+        vit, _ = build_pipeline(
+            args.base_dir, [vdir], [1.0],
+            batch_size=args.mini_batch_size, ctx_len=args.ctx_len,
+            use_padding=args.use_padding, banned_tokens=banned,
+            seed=args.seed + 7919)
+        val_iters[name] = vit
+
+    sink = MultiSink(
+        JsonlSink(args.metrics_jsonl, echo=args.metrics_jsonl is None),
+        WandbSink(args.wandb_project_name, enabled=args.wandb))
+
+    trainer = Trainer(model_cfg, train_cfg,
+                      batch_iter=DevicePrefetcher(batch_iter),
+                      reader_states=reader_states, metrics_sink=sink)
+
+    if args.resume_from:
+        if args.resume_from < 0:
+            path = latest_checkpoint(args.save_dir, args.save_name)
+        else:
+            path = os.path.join(args.save_dir,
+                                f"{args.save_name}_{args.resume_from}")
+        if path is None or not os.path.isdir(path):
+            raise FileNotFoundError(f"no checkpoint at {path}")
+        trainer.restore_checkpoint(path)
+        print(f"Resumed from {path} (tokens={trainer.trained_tokens})")
+
+    trainer.run(max_steps=args.max_steps, val_iters=val_iters)
+    trainer.save_checkpoint(final=True)
+    sink.close()
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

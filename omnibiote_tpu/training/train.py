@@ -238,7 +238,10 @@ class Trainer:
         self.step += 1
         return metrics
 
-    def run(self, max_steps: Optional[int] = None, on_metrics=None):
+    def run(self, max_steps: Optional[int] = None, on_metrics=None,
+            val_iters: Optional[dict] = None):
+        """Main loop. val_iters: {corpus_name: batch_iterator} probed every
+        test_freq tokens (train_encoder.py:371-410)."""
         tc = self.train_cfg
         base_lr = scaled_lr(tc)
         sched = linear_decay(base_lr, self.total_iters)
@@ -267,6 +270,17 @@ class Trainer:
                 self.metrics_sink.log(rec)
             if on_metrics is not None:
                 on_metrics(rec)
+            if val_iters and (self.trained_tokens - last_test) > tc.test_freq:
+                for name, it in val_iters.items():
+                    vb = next(it)
+                    vloss = self.eval_loss(vb["tokens"], vb["segments"])
+                    vrec = {"step": step_idx, "tokens": self.trained_tokens,
+                            f"test_loss/{name}": vloss}
+                    if self.metrics_sink is not None:
+                        self.metrics_sink.log(vrec)
+                    if on_metrics is not None:
+                        on_metrics(vrec)
+                last_test = self.trained_tokens
             if (self.trained_tokens - last_save) > tc.save_freq:
                 self.save_checkpoint()
                 last_save = self.trained_tokens

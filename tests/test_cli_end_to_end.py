@@ -1,0 +1,67 @@
+"""Full-stack CLI test: corpus text -> C++ tokenizer -> shards -> CLI
+pretraining with val probes, checkpointing, and resume-from-latest."""
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    """Tiny two-corpus token-shard tree via the real tokenize pipeline."""
+    from omnibiote_tpu.tokenizer import load_reference
+    from omnibiote_tpu.preprocessing.tokenize_corpus import tokenize_to_shards
+
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    sp = load_reference("mixed")
+    for corpus, tag, alpha in (("genbank", "DNA", "ACGT"),
+                               ("uniref100", "protein", "MKVLAGIW")):
+        txt = ""
+        for _ in range(400):
+            seq = "".join(rng.choice(list(alpha),
+                                     size=int(rng.integers(30, 90))))
+            txt += f"<{tag}>{seq}<EOS>"
+        src = root / f"{corpus}.txt.gz"
+        with gzip.open(src, "wt") as f:
+            f.write(txt)
+        tokenize_to_shards([str(src)], str(root / corpus), sp,
+                           shard_tokens=1500, val_fraction=0.15,
+                           batch_records=64, seed=1)
+    return str(root)
+
+
+def test_cli_train_and_resume(corpus_dir, tmp_path):
+    from omnibiote_tpu.training.cli import main
+
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    argv = [
+        "--base_dir", corpus_dir, "--train_type", "mixed",
+        "--banned_token", "65533",
+        "--batch_size", "16", "--mini_batch_size", "1",
+        "--n_layer", "1", "--n_head", "2", "--n_embd", "32",
+        "--ctx_len", "64", "--dropout", "0.0",
+        "--token_budget", str(16 * 64 * 40.0),
+        "--test_freq", str(16 * 64 * 5.0),
+        "--save_freq", str(16 * 64 * 10.0),
+        "--save_dir", str(tmp_path / "ckpt"), "--save_name", "t",
+        "--max_steps", "12", "--metrics_jsonl", metrics_path,
+        "--disable_flash",
+    ]
+    trainer = main(argv)
+    assert trainer.step == 12
+    recs = [json.loads(l) for l in open(metrics_path)]
+    losses = [r["loss"] for r in recs if "loss" in r]
+    assert len(losses) == 12
+    assert all(np.isfinite(l) for l in losses)
+    # val probes fired for both corpora
+    assert any("test_loss/genbank" in r for r in recs)
+    assert any("test_loss/uniref100" in r for r in recs)
+    # final checkpoint written
+    assert os.path.isdir(tmp_path / "ckpt" / "t")
+
+    # resume from latest and continue
+    trainer2 = main(argv + ["--resume_from", "-1", "--max_steps", "2"])
+    assert trainer2.step >= trainer.step
