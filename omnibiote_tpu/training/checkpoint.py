@@ -151,6 +151,30 @@ def restore_into_trainer(trainer, path: str) -> None:
     trainer._last_ckpt_path = path
 
 
+def load_model_checkpoint(path: str):
+    """Load (params, model_cfg) from a checkpoint directory — the eval-side
+    entry point (the reference unpickles whole modules instead,
+    evals/gue.py:279)."""
+    import jax.numpy as jnp
+    from ..config import OmniBioTAConfig
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    raw = dict(meta["model_cfg"])
+    fields = OmniBioTAConfig.__dataclass_fields__
+    cfg = OmniBioTAConfig(**{k: v for k, v in raw.items() if k in fields})
+
+    flat = load_pytree_flat(os.path.join(path, "params.npz"))
+    tree: Dict = {}
+    for key, arr in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(arr)
+    return tree, cfg
+
+
 def latest_checkpoint(save_dir: str, save_name: str) -> str | None:
     if not os.path.isdir(save_dir):
         return None
