@@ -75,10 +75,16 @@ def pad_batch(token_lists: Sequence[Sequence[int]], bucket: int = 128,
 
 def onecycle(max_lr: float, total_steps: int, pct_start: float = 0.05,
              div_factor: float = 25.0, final_div_factor: float = 1e4):
-    """torch OneCycleLR (cosine) equivalent (gue.py:72)."""
+    """torch OneCycleLR (cosine) equivalent (gue.py:72).
+
+    The warmup phase must span at least one step, otherwise optax's
+    piecewise interpolation divides by zero and every update is NaN.
+    """
+    total = max(total_steps, 2)
+    pct = min(max(pct_start, 1.0 / total), 0.9)
     return optax.schedules.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 1), peak_value=max_lr,
-        pct_start=pct_start, div_factor=div_factor,
+        transition_steps=total, peak_value=max_lr,
+        pct_start=pct, div_factor=div_factor,
         final_div_factor=final_div_factor)
 
 

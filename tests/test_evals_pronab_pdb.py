@@ -1,0 +1,131 @@
+"""ProNAB and PDB-contact eval tests over synthetic datasets."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    from omnibiote_tpu import OmniBioTAConfig, TrainConfig
+    from omnibiote_tpu.training.train import Trainer
+    cfg = OmniBioTAConfig(n_layer=1, n_head=2, n_embd=64, vocab_size=2 ** 16,
+                          block_size=256, dropout=0.0, attn_impl="xla",
+                          compute_dtype="float32")
+    tc = TrainConfig(batch_size=8, mini_batch_size=1, ctx_len=256,
+                     token_budget=1e9,
+                     save_dir=str(tmp_path_factory.mktemp("ck")), save_name="m")
+    return Trainer(cfg, tc, batch_iter=iter(())).save_checkpoint(final=True)
+
+
+def test_pronab_sample_prep():
+    from omnibiote_tpu.evals.pronab import process_dataset, prepare_sample
+    from omnibiote_tpu.tokenizer import load_reference
+
+    ds = {
+        "P1": {"Sequence": "MKVLA",
+               "binding data": [["ACGT", "DNA", 1e-9, -12.0, "TGCA"],
+                                ["AUGC", "RNA", 1e-6, -8.0, ""],
+                                ["ACGT", "DNA", 0, -8.0, ""]]},  # skipped
+    }
+    nuc, pep, Kd, G0 = process_dataset(ds, rng=np.random.default_rng(0))
+    assert len(nuc) == 2
+    assert nuc[0] == "<DNA>ACGT<EOS>"
+    assert nuc[1] == "<RNA>AUGC<EOS>"
+    assert G0 == [-12.0, -8.0]
+    assert abs(Kd[0] - (-9.0)) < 1e-6
+
+    sp = load_reference("mixed")
+    ids = prepare_sample(sp, "MKVLA", "<DNA>ACGT<EOS>", [65533])
+    assert 18 in ids and 4 in ids and 3 in ids
+    assert 65533 not in ids
+
+
+def test_pronab_end_to_end(ckpt, tmp_path, monkeypatch):
+    from omnibiote_tpu.evals.pronab import run_pronab
+
+    rng = np.random.default_rng(0)
+    # pronab_no_mutations.json
+    ds = {}
+    for k in range(12):
+        pep = "".join(rng.choice(list("MKVLAGIW"), size=16))
+        ds[f"P{k}"] = {"Sequence": pep, "binding data": [
+            ["".join(rng.choice(list("ACGT"), size=12)), "DNA",
+             float(10 ** -rng.uniform(3, 9)), float(-rng.uniform(5, 15)), ""]
+        ]}
+    (tmp_path / "pronab.json").write_text(json.dumps(ds))
+    # mutation_data.jsonl: 6 peptide groups
+    recs = []
+    for k in range(6):
+        pep = "".join(rng.choice(list("MKVLAGIW"), size=16))
+        for m in range(3):
+            wild = "".join(rng.choice(list("ACGT"), size=12))
+            mut = wild[:5] + "T" + wild[6:]
+            recs.append({"peptide_sequence": pep,
+                         "wild_nucleotide_sequence": f"<DNA>{wild}<EOS>",
+                         "mutated_nucleotide_sequence": f"<DNA>{mut}<EOS>",
+                         "wild_G0": float(-rng.uniform(5, 15)),
+                         "mutant_G0": float(-rng.uniform(5, 15))})
+    with open(tmp_path / "mut.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+    monkeypatch.chdir(tmp_path)
+    results = run_pronab(
+        "/root/reference/tokenizers/mixed_bpe.model", ckpt, "t",
+        pronab_json=str(tmp_path / "pronab.json"),
+        mutation_jsonl=str(tmp_path / "mut.jsonl"),
+        num_epochs_pretrain=4, num_epochs_cv=4, num_accumulation_steps=8,
+        micro_batch=4, folds=3, seed=0)
+    assert "zero_shot" in results and len(results["folds"]) == 3
+    for fold in results["folds"]:
+        assert np.isfinite(fold["MAE"]) and np.isfinite(fold["dG_MAE"])
+    lines = open(tmp_path / "pronab-mutant-dual_t.jsonl").readlines()
+    assert len(lines) == 4  # zero-shot + 3 folds
+    assert os.path.exists(tmp_path / "pronab_all_ft_t.npz")
+
+
+def test_pdb_contact_end_to_end(ckpt, tmp_path, monkeypatch):
+    from omnibiote_tpu.evals.pdb_contact import (
+        run_pdb_contact, process_sequence, unprocess_sequence)
+    from omnibiote_tpu.tokenizer import load_reference
+
+    sp = load_reference("mixed")
+    # alignment roundtrip: char count preserved
+    tok, labels, plen = process_sequence(
+        sp, "MKVLAGIW", "ACGTACGT", [1, 0, 0, 1, 1, 0, 0, 1], [65533])
+    assert tok[0] == 18 and tok[plen + 1] == 3 and tok[plen + 2] == 4
+    chars = unprocess_sequence(sp, tok[1:plen + 1], labels)
+    assert len(chars) == 8
+    # max-pooling: every char covered by a token with a 1 keeps the 1
+    assert max(chars) == 1.0
+
+    rng = np.random.default_rng(1)
+    data = []
+    for k in range(6):
+        pep = "".join(rng.choice(list("MKVLAGIW"), size=14))
+        for m in range(3):
+            nuc = "".join(rng.choice(list("ACGT"), size=10))
+            dists = rng.uniform(2, 20, size=14)
+            data.append({
+                "peptide_sequences": {"A": pep},
+                "nucleotide_sequences": {"B": nuc},
+                "closest_nucleotides": dists.tolist(),
+            })
+    # one malformed record (length mismatch) must be dropped
+    data.append({"peptide_sequences": {"A": "MKV"},
+                 "nucleotide_sequences": {"B": "ACGT"},
+                 "closest_nucleotides": [1.0, 2.0]})
+    (tmp_path / "dist.json").write_text(json.dumps(data))
+
+    monkeypatch.chdir(tmp_path)
+    results = run_pdb_contact(
+        ckpt, "t", "/root/reference/tokenizers/mixed_bpe.model",
+        distances_json=str(tmp_path / "dist.json"),
+        num_epochs=2, num_accumulation_steps=8, micro_batch=4, folds=2,
+        seed=0)
+    assert len(results) == 2
+    assert all(0.0 <= r <= 1.0 for r in results)
+    lines = open(tmp_path / "pdb_contact_eval_t.jsonl").readlines()
+    assert len(lines) == 2
