@@ -129,3 +129,49 @@ def test_pdb_contact_end_to_end(ckpt, tmp_path, monkeypatch):
     assert all(0.0 <= r <= 1.0 for r in results)
     lines = open(tmp_path / "pdb_contact_eval_t.jsonl").readlines()
     assert len(lines) == 2
+
+
+def test_deepnap_baseline(tmp_path, monkeypatch):
+    from omnibiote_tpu.evals.deepnap import (
+        run_deepnap, encode_peptide, encode_nucleotide, init_deepnap,
+        apply_deepnap)
+    import jax, jax.numpy as jnp
+
+    # encodings: shapes and padding
+    assert encode_peptide("MKVLA").shape == (1000, 9)
+    assert encode_nucleotide("ACGTU").shape == (75, 5)
+    assert encode_peptide("M" * 1500).shape == (1000, 9)
+
+    # forward shape
+    params = init_deepnap(jax.random.PRNGKey(0))
+    out = apply_deepnap(params,
+                        jnp.zeros((2, 1, 1000, 9)), jnp.zeros((2, 1, 75, 5)))
+    assert out.shape == (2, 1)
+
+    rng = np.random.default_rng(3)
+    ds = {}
+    for k in range(10):
+        pep = "".join(rng.choice(list("MKVLAGIW"), size=16))
+        ds[f"P{k}"] = {"Sequence": pep, "binding data": [
+            ["".join(rng.choice(list("ACGT"), size=12)), "DNA",
+             1e-6, float(-rng.uniform(5, 15)), ""]]}
+    (tmp_path / "pronab.json").write_text(json.dumps(ds))
+    recs = []
+    for k in range(4):
+        pep = "".join(rng.choice(list("MKVLAGIW"), size=16))
+        for m in range(2):
+            wild = "".join(rng.choice(list("ACGT"), size=12))
+            recs.append({"peptide_sequence": pep,
+                         "wild_nucleotide_sequence": f"<DNA>{wild}<EOS>",
+                         "mutated_nucleotide_sequence": f"<DNA>{wild[:3]}A{wild[4:]}<EOS>",
+                         "wild_G0": float(-rng.uniform(5, 15)),
+                         "mutant_G0": float(-rng.uniform(5, 15))})
+    with open(tmp_path / "mut.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+    monkeypatch.chdir(tmp_path)
+    results = run_deepnap(str(tmp_path / "pronab.json"),
+                          str(tmp_path / "mut.jsonl"),
+                          num_epochs=4, batch_size=8, seed=0)
+    assert np.isfinite(results["zero_shot"]["MAE"])
