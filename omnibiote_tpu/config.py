@@ -146,6 +146,9 @@ class TrainConfig:
     # --- TPU-native additions -------------------------------------------
     dp_axis: str = "data"
     mesh_shape: Optional[Tuple[int, ...]] = None  # None = all devices on dp
+    # 'replicated' (DDP equivalent) | 'fsdp' (ZeRO-style param/opt sharding,
+    # the reference's --FSDP) | 'tp' | 'fsdp+tp' (tensor-parallel extension)
+    sharding: str = "replicated"
     log_every: int = 1
 
     def replace(self, **kw) -> "TrainConfig":

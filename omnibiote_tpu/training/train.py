@@ -176,6 +176,15 @@ class Trainer:
             self.params, model_cfg, tc, self.total_iters)
         self.opt_state = self.optimizer.init(self.params)
 
+        if tc.sharding != "replicated":
+            # FSDP/TP: annotate params + optimizer state; XLA inserts the
+            # gathers/reductions (see parallel/sharding.py)
+            from ..parallel.sharding import shard_params, shard_opt_state_like
+            self.params, self._param_specs = shard_params(
+                self.params, tc.sharding, self.mesh)
+            self.opt_state = shard_opt_state_like(
+                self.opt_state, self.params, self._param_specs, self.mesh)
+
         self.step = 0
         self.trained_tokens = 0
         self.batch_iter = batch_iter

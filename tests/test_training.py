@@ -159,3 +159,59 @@ def test_eval_step(trained):
     batch = next(synth_batches(16, 32, seed=5))
     loss = trainer.eval_loss(batch["tokens"], batch["segments"])
     assert np.isfinite(loss) and loss > 0
+
+
+def test_fsdp_sharding_mode():
+    """ZeRO-style sharding: params/opt state sharded over the data axis,
+    training still converges to the same place as replicated mode."""
+    from omnibiote_tpu.parallel.sharding import param_pspecs
+    from jax.sharding import PartitionSpec as P
+
+    tc = TrainConfig(batch_size=16, mini_batch_size=2, ctx_len=32, lr=1e-2,
+                     token_budget=16 * 32 * 100.0, seed=0, sharding="fsdp")
+    tr = Trainer(MODEL, tc, batch_iter=synth_batches(16, 32, seed=11))
+    # params actually sharded (wte (64, 32): dim0 divisible by 8)
+    wte_shard = tr.params["wte"].sharding
+    assert not wte_shard.is_fully_replicated
+    # optimizer moments share the param sharding
+    mu_leaves = [l for l in jax.tree.leaves(tr.opt_state)
+                 if hasattr(l, "shape") and l.shape == tr.params["wte"].shape]
+    assert mu_leaves and not mu_leaves[0].sharding.is_fully_replicated
+
+    losses_f = []
+    tr.run(max_steps=10, on_metrics=lambda r: losses_f.append(r["loss"]))
+
+    tc_r = tc.replace(sharding="replicated")
+    tr_r = Trainer(MODEL, tc_r, batch_iter=synth_batches(16, 32, seed=11))
+    losses_r = []
+    tr_r.run(max_steps=10, on_metrics=lambda r: losses_r.append(r["loss"]))
+    np.testing.assert_allclose(losses_f, losses_r, rtol=1e-4, atol=1e-5)
+
+
+def test_tp_param_specs_and_forward():
+    """Tensor-parallel specs split attention/MLP projections over 'model';
+    forward under a 2D mesh matches the single-device result."""
+    from omnibiote_tpu.parallel.mesh import make_mesh
+    from omnibiote_tpu.parallel.sharding import shard_params
+    from omnibiote_tpu.models.omnibiota import init_params, forward
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = MODEL
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    idx = jnp.asarray(
+        np.random.default_rng(0).integers(4, 60, size=(4, 32)), jnp.int32)
+    ref = forward(params, cfg, idx, return_embeddings=True)
+
+    mesh = make_mesh((2, 4), axis_names=("data", "model"))
+    tp_params, specs = shard_params(params, "tp", mesh)
+    assert specs["blocks"]["attn"]["wqkv"] == P(None, None, "model")
+    assert specs["blocks"]["attn"]["wo"] == P(None, "model", None)
+    assert specs["blocks"]["mlp"]["wi"] == P(None, None, "model")
+    assert specs["blocks"]["mlp"]["wo"] == P(None, "model", None)
+    assert specs["lm_head"] == P(None, "model")
+    assert specs["wte"] == P()
+
+    out = jax.jit(lambda p, i: forward(p, cfg, i, return_embeddings=True))(
+        tp_params, jax.device_put(idx, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
