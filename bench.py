@@ -76,6 +76,22 @@ def main():
     fpt = flops_per_token(n_body, model_cfg.n_layer, model_cfg.n_embd, ctx)
     achieved_mfu = mfu(tps, fpt, n_chips=n_dev, generation=gen)
 
+    # encode() seqs/sec at ctx 1024 (BASELINE.md metric 2)
+    import jax.numpy as jnp
+    from omnibiote_tpu import encode
+    enc_cfg = model_cfg.replace(dropout=0.0)
+    enc_batch = jnp.asarray(
+        rng.integers(20, 65000, size=(mini * 2, ctx)).astype(np.int32))
+    enc = jax.jit(lambda p, t: encode(p, enc_cfg, t, "mean"))
+    float(enc(trainer.params, enc_batch)[0, 0])  # compile + flush
+    enc_steps = 16
+    t0 = time.time()
+    out = enc_batch
+    for _ in range(enc_steps):
+        e = enc(trainer.params, enc_batch)
+    float(e[0, 0])
+    enc_sps = enc_steps * enc_batch.shape[0] / (time.time() - t0)
+
     print(json.dumps({
         "metric": "omnibiote-small MLM pretrain tokens/sec/chip (ctx 1024, bf16)",
         "value": round(tps_chip, 1),
@@ -83,6 +99,7 @@ def main():
         "vs_baseline": round(achieved_mfu / 0.50, 4),
         "detail": {
             "mfu": round(achieved_mfu, 4),
+            "encode_seqs_per_sec_ctx1024": round(enc_sps, 1),
             "platform": platform,
             "tpu_gen": gen,
             "n_devices": n_dev,
