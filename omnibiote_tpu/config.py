@@ -56,6 +56,10 @@ class OmniBioTAConfig:
     # model.py:243-245; under lax.scan we remat uniformly, which strictly
     # reduces memory further).
     checkpoint_freq: int = 0
+    # remat policy when checkpoint_freq > 0: 'full' recomputes the whole
+    # block; 'dots' saves matmul outputs and recomputes elementwise ops
+    # (LN/GELU/dropout), trading HBM residual traffic for VPU recompute.
+    remat_policy: str = "full"
 
     # --- TPU-native additions -------------------------------------------
     # 'flash' = Pallas flash-attention kernel (segment-id masked);

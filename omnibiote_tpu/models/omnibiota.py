@@ -24,10 +24,11 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import OmniBioTAConfig
 from ..ops.attention import attention
-from .rope import rope_tables, apply_rope
+from .rope import rope_tables, apply_rope, apply_rope_half, deinterleave_perm
 
 
 # --------------------------------------------------------------------------
@@ -151,12 +152,27 @@ def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs, determinist
 
     # --- attention (reference SelfAttention, model.py:74-152) ---
     h = _layer_norm(x, bp["ln1"])
-    qkv = _linear(h, bp["attn"]["wqkv"], bp["attn"].get("bqkv"))
+    # Fold RoPE's pair de-interleave into the q/k projection columns: a
+    # shared head_dim permutation of q and k leaves attention exactly
+    # invariant, and rotate-half on contiguous halves avoids the strided
+    # even/odd lane access of the complex-pair formulation (models/rope.py).
+    perm = deinterleave_perm(Dh)
+    col_perm = (np.arange(H)[:, None] * Dh + perm[None, :]).reshape(-1)
+    wqkv = bp["attn"]["wqkv"]
+    wq = jnp.take(wqkv[:, :D], col_perm, axis=1)
+    wk = jnp.take(wqkv[:, D:2 * D], col_perm, axis=1)
+    wqkv = jnp.concatenate([wq, wk, wqkv[:, 2 * D:]], axis=1)
+    bqkv = bp["attn"].get("bqkv")
+    if bqkv is not None:
+        bq = jnp.take(bqkv[:D], col_perm)
+        bk = jnp.take(bqkv[D:2 * D], col_perm)
+        bqkv = jnp.concatenate([bq, bk, bqkv[2 * D:]])
+    qkv = _linear(h, wqkv, bqkv)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, T, H, Dh)
     k = k.reshape(B, T, H, Dh)
     v = v.reshape(B, T, H, Dh)
-    q, k = apply_rope(q, k, cos, sin)
+    q, k = apply_rope_half(q, k, cos, sin)
 
     attn_rng = None
     if not deterministic and cfg.dropout > 0.0:
@@ -227,7 +243,9 @@ def forward(
         return out, None
 
     if cfg.checkpoint_freq > 0:
-        body = jax.checkpoint(body, prevent_cse=False)
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if cfg.remat_policy == "dots" else None)
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], layer_rngs))
     emb = _layer_norm(x, params["ln_f"])

@@ -34,6 +34,37 @@ def rope_tables(head_dim: int, end: int, theta: float = 10000.0):
     return jnp.asarray(cos), jnp.asarray(sin)
 
 
+def deinterleave_perm(head_dim: int):
+    """Permutation mapping interleaved pair layout -> rotate-half layout.
+
+    TPU lanes hate the strided even/odd access of the complex-pair RoPE; a
+    shared permutation of q and k's head_dim leaves q @ k^T (and therefore
+    the attention output) exactly invariant, so we de-interleave via the
+    projection weights' columns (cheap, weight-sized) and rotate contiguous
+    halves instead."""
+    return np.concatenate([np.arange(0, head_dim, 2),
+                           np.arange(1, head_dim, 2)])
+
+
+def apply_rope_half(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
+                    sin: jnp.ndarray):
+    """Rotate-half RoPE on (B, T, H, Dh) whose head_dim is already in
+    de-interleaved [evens | odds] order. Numerically identical to apply_rope
+    up to the shared permutation."""
+    T = q.shape[1]
+    half = q.shape[-1] // 2
+    cos = cos[:T][None, :, None, :]
+    sin = sin[:T][None, :, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        x1, x2 = xf[..., :half], xf[..., half:]
+        return jnp.concatenate(
+            [x1 * cos - x2 * sin, x1 * sin + x2 * cos], -1).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
     """Rotate q, k of shape (B, T, H, Dh) by per-position angles.
 

@@ -217,9 +217,9 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref, lse_ref,
     lse = lse_ref[0, 0]                # (block_q, 1)
     p = jnp.exp(s - lse)               # softmax probs (pre-dropout)
 
-    do = do_ref[0, 0].astype(jnp.float32)  # (block_q, d)
+    do = do_ref[0, 0]                  # (block_q, d), input dtype
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # (block_q, block_kv)
 
     if dropout_rate > 0.0:
@@ -234,16 +234,16 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref, lse_ref,
     else:
         p_drop = p
 
-    # dV += dropout(P)^T @ dO
+    # dV += dropout(P)^T @ dO  (bf16 operands, fp32 accumulation)
     dv_scr[...] += jax.lax.dot_general(
-        p_drop, do, (((0,), (0,)), ((), ())),
+        p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     # dS = P * (mask(dP) - di); di = rowsum(o * do)
     di = di_ref[0, 0]                  # (block_q, 1)
     ds = p * (dp - di) * scale
     # dK += dS^T @ Q
     dk_scr[...] += jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(q_idx == n_q - 1)
@@ -275,9 +275,9 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref, lse_ref,
     s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     p = jnp.exp(s - lse_ref[0, 0])
 
-    do = do_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0]
     dp = jax.lax.dot_general(
-        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     if dropout_rate > 0.0:
@@ -289,7 +289,7 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref, lse_ref,
 
     ds = p * (dp - di_ref[0, 0]) * scale            # (block_q, block_kv)
     dq_scr[...] += jax.lax.dot(
-        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32)
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():

@@ -30,7 +30,7 @@ def _build_library() -> str:
     if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) > newest_src:
         return _SO_PATH
     cmd = [
-        "g++", "-std=c++17", "-O2", "-fPIC", "-shared", "-pthread",
+        "g++", "-std=c++20", "-O2", "-fPIC", "-shared", "-pthread",
         "-o", _SO_PATH, *srcs,
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)

@@ -236,6 +236,11 @@ bool SpmModel::LoadFromString(const std::string& data, std::string* err) {
   std::sort(matcher_ids_.begin(), matcher_ids_.end(), [this](int a, int b) {
     return pieces_[a].piece.size() > pieces_[b].piece.size();
   });
+  matcher_first_bytes_.assign(256, false);
+  for (int id : matcher_ids_)
+    if (!pieces_[id].piece.empty())
+      matcher_first_bytes_[static_cast<unsigned char>(
+          pieces_[id].piece[0])] = true;
   return true;
 }
 
@@ -261,12 +266,15 @@ std::string SpmModel::Normalize(
     // for raw-text matching, but control symbols like <s> are also atomic
     // if they appear literally)
     int matched = -1;
-    for (int id : matcher_ids_) {
-      const std::string& p = pieces_[id].piece;
-      if (p.size() <= input.size() - i &&
-          std::memcmp(input.data() + i, p.data(), p.size()) == 0) {
-        matched = id;
-        break;
+    if (!matcher_ids_.empty() && matcher_first_bytes_[
+            static_cast<unsigned char>(input[i])]) {
+      for (int id : matcher_ids_) {
+        const std::string& p = pieces_[id].piece;
+        if (p.size() <= input.size() - i &&
+            std::memcmp(input.data() + i, p.data(), p.size()) == 0) {
+          matched = id;
+          break;
+        }
       }
     }
     if (matched >= 0) {
@@ -436,8 +444,8 @@ std::vector<int> SpmModel::EncodeNormalized(
     int right = syms[left].next;
     if (right < 0) return;
     if (syms[left].frozen || syms[right].frozen) return;
-    std::string merged(norm, syms[left].start,
-                       syms[right].end - syms[left].start);
+    std::string_view merged(norm.data() + syms[left].start,
+                            syms[right].end - syms[left].start);
     auto it = piece_index_.find(merged);
     if (it == piece_index_.end()) return;
     if (pieces_[it->second].type != kNormal) return;
@@ -466,7 +474,8 @@ std::vector<int> SpmModel::EncodeNormalized(
 
   for (int s = 0; s >= 0 && s < ns; s = syms[s].next) {
     if (!syms[s].active) continue;
-    std::string piece(norm, syms[s].start, syms[s].end - syms[s].start);
+    std::string_view piece(norm.data() + syms[s].start,
+                           syms[s].end - syms[s].start);
     auto it = piece_index_.find(piece);
     out.push_back(it == piece_index_.end() ? unk_id_ : it->second);
   }

@@ -17,6 +17,7 @@
 
 #include <cstdint>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <vector>
 
@@ -89,8 +90,21 @@ class SpmModel {
   bool add_dummy_prefix() const { return add_dummy_prefix_; }
 
  private:
+  struct SvHash {
+    using is_transparent = void;
+    size_t operator()(std::string_view sv) const {
+      return std::hash<std::string_view>{}(sv);
+    }
+  };
+  struct SvEq {
+    using is_transparent = void;
+    bool operator()(std::string_view a, std::string_view b) const {
+      return a == b;
+    }
+  };
+
   std::vector<Piece> pieces_;
-  std::unordered_map<std::string, int> piece_index_;
+  std::unordered_map<std::string, int, SvHash, SvEq> piece_index_;
   CharsMap charsmap_;
   bool add_dummy_prefix_ = true;
   bool remove_extra_whitespaces_ = true;
@@ -98,6 +112,7 @@ class SpmModel {
   int unk_id_ = 0;
   // user-defined / control pieces for prefix matching during normalization
   std::vector<int> matcher_ids_;  // sorted by piece length desc
+  std::vector<bool> matcher_first_bytes_;
 };
 
 // BPE trainer: builds a vocab of `vocab_size` pieces from sentences.
