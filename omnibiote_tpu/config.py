@@ -60,6 +60,9 @@ class OmniBioTAConfig:
     # block; 'dots' saves matmul outputs and recomputes elementwise ops
     # (LN/GELU/dropout), trading HBM residual traffic for VPU recompute.
     remat_policy: str = "full"
+    # lax.scan over stacked layers (fast compile) vs an unrolled python loop
+    # (lets XLA schedule across layers; ~5% faster step, larger compile)
+    scan_layers: bool = False
 
     # --- TPU-native additions -------------------------------------------
     # 'flash' = Pallas flash-attention kernel (segment-id masked);
@@ -153,6 +156,10 @@ class TrainConfig:
     # 'replicated' (DDP equivalent) | 'fsdp' (ZeRO-style param/opt sharding,
     # the reference's --FSDP) | 'tp' | 'fsdp+tp' (tensor-parallel extension)
     sharding: str = "replicated"
+    # PRNG implementation for training randomness: 'rbg' is much faster on
+    # TPU than the default threefry (dropout mask generation is ~15% of the
+    # step with threefry at dropout 0.1)
+    rng_impl: str = "rbg"
     log_every: int = 1
 
     def replace(self, **kw) -> "TrainConfig":

@@ -247,7 +247,12 @@ def forward(
                   if cfg.remat_policy == "dots" else None)
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
 
-    x, _ = jax.lax.scan(body, x, (params["blocks"], layer_rngs))
+    if cfg.scan_layers:
+        x, _ = jax.lax.scan(body, x, (params["blocks"], layer_rngs))
+    else:
+        for i in range(cfg.n_layer):
+            bp_i = jax.tree.map(lambda a: a[i], params["blocks"])
+            x, _ = body(x, (bp_i, layer_rngs[i]))
     emb = _layer_norm(x, params["ln_f"])
 
     if return_embeddings:

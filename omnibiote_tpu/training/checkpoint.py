@@ -91,6 +91,9 @@ def save_checkpoint(trainer, final: bool = False) -> str:
         "rng": np.asarray(jax.random.key_data(trainer.rng)
                           if jax.dtypes.issubdtype(trainer.rng.dtype, jax.dtypes.prng_key)
                           else trainer.rng).tolist(),
+        "rng_impl": (str(jax.random.key_impl(trainer.rng))
+                     if jax.dtypes.issubdtype(trainer.rng.dtype,
+                                              jax.dtypes.prng_key) else "raw"),
         "reader_states": [s.to_dict() for s in trainer.reader_states],
         "model_cfg": {k: v for k, v in vars(trainer.model_cfg).items()},
         "train_cfg": {k: (v if not isinstance(v, tuple) else list(v))
@@ -145,7 +148,11 @@ def restore_into_trainer(trainer, path: str) -> None:
     trainer.step = int(meta["step"])
     trainer.trained_tokens = int(meta["trained_tokens"])
     rng = np.asarray(meta["rng"], dtype=np.uint32)
-    trainer.rng = jnp.asarray(rng)
+    impl = meta.get("rng_impl", "raw")
+    if impl != "raw":
+        trainer.rng = jax.random.wrap_key_data(jnp.asarray(rng), impl=impl)
+    else:
+        trainer.rng = jnp.asarray(rng)
     trainer.reader_states = [
         ReaderState.from_dict(d) for d in meta["reader_states"]]
     trainer._last_ckpt_path = path

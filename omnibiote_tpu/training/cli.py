@@ -59,6 +59,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--metrics_jsonl", type=str, default=None)
     p.add_argument("--wandb", action="store_true", default=False)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of 3 steps, then exit")
     return p
 
 
@@ -117,6 +119,12 @@ def main(argv=None):
             raise FileNotFoundError(f"no checkpoint at {path}")
         trainer.restore_checkpoint(path)
         print(f"Resumed from {path} (tokens={trainer.trained_tokens})")
+
+    if args.profile_dir:
+        out = trainer.profile(trace_dir=args.profile_dir)
+        print(f"profile written to {out}")
+        sink.close()
+        return trainer
 
     trainer.run(max_steps=args.max_steps, val_iters=val_iters)
     trainer.save_checkpoint(final=True)

@@ -169,7 +169,10 @@ class Trainer:
         self.total_iters = int(
             tc.token_budget / (tc.batch_size * tc.ctx_len))
 
-        rng = init_rng if init_rng is not None else jax.random.PRNGKey(tc.seed)
+        if init_rng is not None:
+            rng = init_rng
+        else:
+            rng = jax.random.key(tc.seed, impl=tc.rng_impl)
         self.rng, init_key = jax.random.split(rng)
         self.params = init_params(init_key, model_cfg)
         self.optimizer = make_optimizer(
@@ -246,6 +249,18 @@ class Trainer:
             weights, self.rng, jnp.int32(self.step))
         self.step += 1
         return metrics
+
+    def profile(self, n_steps: int = 3, trace_dir: str = "/tmp/obt_profile"):
+        """Capture a device trace of n_steps train steps (the TPU-native
+        replacement for the reference's hand-rolled time.time() spans,
+        train_encoder.py:242-323). View with tensorboard/xprof."""
+        m = self.train_step_once()
+        float(m["loss"])  # flush compiles before tracing
+        with jax.profiler.trace(trace_dir):
+            for _ in range(n_steps):
+                m = self.train_step_once()
+            float(m["loss"])
+        return trace_dir
 
     def run(self, max_steps: Optional[int] = None, on_metrics=None,
             val_iters: Optional[dict] = None):

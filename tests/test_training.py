@@ -132,7 +132,7 @@ def test_checkpoint_resume_exact(trained, tmp_path):
     # branch A: continue in place
     batches_a = synth_batches(32, 32, seed=99)
     trainer.batch_iter = batches_a
-    rng_before = np.asarray(trainer.rng)
+    rng_before = np.asarray(jax.random.key_data(trainer.rng))
     for _ in range(3):
         trainer.train_step_once()
     params_a = jax.device_get(trainer.params)
@@ -142,7 +142,8 @@ def test_checkpoint_resume_exact(trained, tmp_path):
     tc = trainer.train_cfg
     t2 = Trainer(MODEL, tc, batch_iter=synth_batches(32, 32, seed=99))
     t2.restore_checkpoint(path)
-    np.testing.assert_array_equal(np.asarray(t2.rng), rng_before)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(t2.rng)), rng_before)
     for _ in range(3):
         t2.train_step_once()
     params_b = jax.device_get(t2.params)
