@@ -241,9 +241,61 @@ def run_deepnap(
     test_all = [r for key in groups for r in groups[key]]
     results = {"zero_shot": eval_pairs(params, test_all), "folds": []}
     print(f"deepnap zero-shot: {results['zero_shot']}")
-
     with open(f"deepnap-mutant-dual_{output_suffix}.jsonl", "a") as f:
         f.write(json.dumps(results["zero_shot"]) + "\n")
+
+    # grouped cross-val on the mutation data with the ddG + dG dual loss
+    # (notebook cells 9-12, mirroring the pronab protocol)
+    pretrained = jax.tree.map(np.asarray, params)
+    strip = lambda s: (s.replace("<DNA>", "").replace("<RNA>", "")
+                       .replace("<EOS>", ""))
+
+    for split in range(folds):
+        train_set, test_set = [], []
+        for i, key in enumerate(groups):
+            if i % folds == split:
+                test_set += groups[key]
+            train_set += groups[key]  # reference contamination reproduced
+        if not test_set:
+            continue
+        fparams = jax.tree.map(jnp.asarray, pretrained)
+        cv_steps = max(1, int(num_epochs_cv * len(train_set) / batch_size))
+        cv_tx = optax.adamw(linear_to_zero(lr, cv_steps), weight_decay=1e-2)
+        cv_opt = cv_tx.init(fparams)
+
+        @jax.jit
+        def cv_step(p, opt, xp, xw, xm, wild_g0, mut_g0, rng):
+            def loss_fn(p):
+                gw = apply_deepnap(p, xp, xw)[:, 0] * g0_std + g0_mean
+                gm = apply_deepnap(p, xp, xm)[:, 0] * g0_std + g0_mean
+                return jnp.mean((gm - gw - (mut_g0 - wild_g0)) ** 2
+                                + (gw - wild_g0) ** 2 + (gm - mut_g0) ** 2)
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, opt = cv_tx.update(grads, opt, p)
+            return optax.apply_updates(p, updates), opt, loss
+
+        rng2 = jax.random.PRNGKey(seed + 100 + split)
+        for step in range(cv_steps):
+            idx = rng_np.integers(0, len(train_set),
+                                  size=min(batch_size, 64))
+            sub = [train_set[i] for i in idx]
+            xp = jnp.asarray(np.stack([encode_peptide(
+                r["peptide_sequence"])[None] for r in sub]))
+            xw = jnp.asarray(np.stack([encode_nucleotide(
+                strip(r["wild_nucleotide_sequence"]))[None] for r in sub]))
+            xm = jnp.asarray(np.stack([encode_nucleotide(
+                strip(r["mutated_nucleotide_sequence"]))[None] for r in sub]))
+            wg = jnp.asarray([r["wild_G0"] for r in sub], jnp.float32)
+            mg = jnp.asarray([r["mutant_G0"] for r in sub], jnp.float32)
+            rng2, k = jax.random.split(rng2)
+            fparams, cv_opt, _ = cv_step(fparams, cv_opt, xp, xw, xm, wg, mg, k)
+
+        res = eval_pairs(fparams, test_set)
+        results["folds"].append(res)
+        with open(f"deepnap-mutant-dual_{output_suffix}.jsonl", "a") as f:
+            f.write(json.dumps(res) + "\n")
+        print(f"deepnap fold {split}: pcc {res['pcc']:.4f} "
+              f"MAE {res['MAE']:.4f}")
     return results
 
 

@@ -173,5 +173,8 @@ def test_deepnap_baseline(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     results = run_deepnap(str(tmp_path / "pronab.json"),
                           str(tmp_path / "mut.jsonl"),
-                          num_epochs=4, batch_size=8, seed=0)
+                          num_epochs=4, batch_size=8, seed=0,
+                          folds=2, num_epochs_cv=4)
     assert np.isfinite(results["zero_shot"]["MAE"])
+    assert len(results["folds"]) == 2
+    assert all(np.isfinite(f["MAE"]) for f in results["folds"])
