@@ -52,8 +52,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch_pytree(mesh: Mesh, batch: dict, batch_dim: int = 0) -> dict:
-    """device_put a host batch dict with the batch dim sharded over data."""
-    return {
-        k: jax.device_put(v, batch_sharding(mesh, v.ndim, batch_dim))
-        for k, v in batch.items()
-    }
+    """Place a host batch dict on the mesh with the batch dim sharded over
+    data.
+
+    Single-process: a plain device_put. Multi-host (jax.distributed): every
+    host builds the same global batch (the pipeline is seed-deterministic),
+    and each host contributes its process-local slice via
+    jax.make_array_from_process_local_data — the replacement for the
+    reference's per-rank torchrun data split (train_encoder.py:115-124).
+    """
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(v, batch_sharding(mesh, v.ndim, batch_dim))
+            for k, v in batch.items()
+        }
+    out = {}
+    for k, v in batch.items():
+        sharding = batch_sharding(mesh, v.ndim, batch_dim)
+        n = v.shape[batch_dim]
+        per = n // jax.process_count()
+        lo = jax.process_index() * per
+        idx = [slice(None)] * v.ndim
+        idx[batch_dim] = slice(lo, lo + per)
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, v[tuple(idx)], v.shape)
+    return out

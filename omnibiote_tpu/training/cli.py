@@ -61,11 +61,21 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--wandb", action="store_true", default=False)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of 3 steps, then exit")
+    p.add_argument("--multihost", action="store_true", default=False,
+                   help="call jax.distributed.initialize() for multi-host "
+                        "pods (coordinator from env, replacing torchrun)")
     return p
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local "
+              f"of {jax.device_count()} devices")
 
     model_cfg = OmniBioTAConfig(
         block_size=args.ctx_len, vocab_size=2 ** 16, n_layer=args.n_layer,
