@@ -1,0 +1,98 @@
+"""Ring attention: sequence-parallel attention over a mesh axis.
+
+Long-context extension beyond the reference (SURVEY.md §5: the reference has
+no long-context mechanism — sequences are chopped to ctx_len by the packer).
+The sequence dimension is sharded over a mesh axis; KV blocks rotate around
+the ring via jax.lax.ppermute while each device folds the incoming block
+into an online-softmax accumulator, so communication rides the ICI ring and
+overlaps with compute (jax-ml.github.io/scaling-book recipe; see
+/opt/skills/guides/boom_attention_tricks.md §16).
+
+Segment ids are global (EOS cumsum over the full sequence before sharding),
+so packed-sequence masking works across shard boundaries unchanged.
+
+This is the op-level building block; the per-block math is the same online
+softmax the Pallas kernel uses, expressed in jnp so XLA fuses it per step.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _ring_body(q, k, v, q_seg, kv_seg, *, scale, axis_name, ring_size):
+    """Per-device shard_map body. q,k,v: (B, Tl, H, D); segs: (B, Tl)."""
+    N = ring_size
+    B, Tl, H, D = q.shape
+
+    m = jnp.full((B, H, Tl, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((B, H, Tl, 1), jnp.float32)
+    o = jnp.zeros((B, Tl, H, D), jnp.float32)
+    # initial accumulators are device-invariant constants; mark them varying
+    # over the ring axis so the scan carry types line up
+    m, l, o = (jax.lax.pvary(x, (axis_name,)) for x in (m, l, o))
+
+    def block(carry, _):
+        m, l, o, k_blk, v_blk, kseg_blk = carry
+        s = jnp.einsum("bthd,bshd->bhts", q, k_blk,
+                       preferred_element_type=jnp.float32) * scale
+        vis = q_seg[:, :, None] == kseg_blk[:, None, :]
+        s = jnp.where(vis[:, None, :, :], s, NEG_BIG)
+
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        o_new = o * alpha.transpose(0, 2, 1, 3) + jnp.einsum(
+            "bhts,bshd->bthd", p.astype(v_blk.dtype), v_blk,
+            preferred_element_type=jnp.float32)
+
+        perm = [(i, (i + 1) % N) for i in range(N)]
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        kseg_blk = jax.lax.ppermute(kseg_blk, axis_name, perm)
+        return (m_new, l_new, o_new, k_blk, v_blk, kseg_blk), None
+
+    carry = (m, l, o, k, v, kv_seg)
+    # static ring length: N is a python int only under shard_map with a
+    # concrete mesh; use fori-style scan over N steps
+    (m, l, o, _, _, _), _ = jax.lax.scan(block, carry, None, length=N)
+
+    l_t = l.transpose(0, 2, 1, 3)  # (B, Tl, H, 1)
+    o = o / jnp.where(l_t == 0.0, 1.0, l_t)
+    return o.astype(q.dtype)
+
+
+def ring_attention(
+    q: jnp.ndarray,                 # (B, T, H, D), T sharded over seq axis
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray],   # (B, T) GLOBAL segment ids
+    *,
+    scale: float,
+    mesh: Mesh,
+    seq_axis: str = "data",
+) -> jnp.ndarray:
+    """Sequence-parallel attention: shard T over `seq_axis`, rotate KV."""
+    B, T, H, D = q.shape
+    if segment_ids is None:
+        segment_ids = jnp.zeros((B, T), jnp.int32)
+
+    spec_qkv = P(None, seq_axis, None, None)
+    spec_seg = P(None, seq_axis)
+
+    body = functools.partial(_ring_body, scale=scale, axis_name=seq_axis,
+                             ring_size=int(mesh.shape[seq_axis]))
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_seg, spec_seg),
+        out_specs=spec_qkv,
+    )
+    return fn(q, k, v, segment_ids, segment_ids)

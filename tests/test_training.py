@@ -216,3 +216,19 @@ def test_tp_param_specs_and_forward():
         tp_params, jax.device_put(idx, NamedSharding(mesh, P())))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tp_training_step_on_2d_mesh():
+    """Full train step with sharding='fsdp+tp' over a (data=4, model=2)
+    mesh: runs, loss finite, matrix params sharded over 'model'."""
+    from omnibiote_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 2), axis_names=("data", "model"))
+    tc = TrainConfig(batch_size=8, mini_batch_size=1, ctx_len=32, lr=1e-2,
+                     token_budget=8 * 32 * 100.0, seed=0, sharding="fsdp+tp")
+    tr = Trainer(MODEL, tc, batch_iter=synth_batches(8, 32, seed=3),
+                 mesh=mesh)
+    wqkv = tr.params["blocks"]["attn"]["wqkv"]
+    assert "model" in str(wqkv.sharding.spec)
+    m = tr.train_step_once()
+    assert np.isfinite(float(m["loss"]))
