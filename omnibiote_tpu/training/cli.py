@@ -61,6 +61,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--wandb", action="store_true", default=False)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of 3 steps, then exit")
+    p.add_argument("--log_every", type=int, default=10,
+                   help="steps between host metric fetches (host syncs are "
+                        "expensive; token accounting accumulates on device)")
     p.add_argument("--multihost", action="store_true", default=False,
                    help="call jax.distributed.initialize() for multi-host "
                         "pods (coordinator from env, replacing torchrun)")
@@ -92,7 +95,7 @@ def main(argv=None):
         banned_token=args.banned_token, warmup_period=args.warmup_period,
         batch_ramp=args.batch_ramp, train_type=args.train_type,
         use_padding=args.use_padding, resume_from=args.resume_from,
-        base_dir=args.base_dir, seed=args.seed)
+        base_dir=args.base_dir, seed=args.seed, log_every=args.log_every)
 
     train_dirs, val_dirs, val_names, proportions = train_cfg.mixture
     banned = [args.banned_token] if args.banned_token is not None else []

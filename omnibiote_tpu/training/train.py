@@ -273,27 +273,41 @@ class Trainer:
         last_test = self.trained_tokens
         end_step = self.total_iters if max_steps is None else min(
             self.total_iters, self.step + max_steps)
+        tok_base = self.trained_tokens
+        tok_dev = None          # device-side token accumulator (no host sync)
+        last_fetch_t = time.time()
+        last_fetch_tok = self.trained_tokens
         while self.step < end_step:
             t0 = time.time()
             step_idx = self.step
             metrics = self.train_step_once()
-            loss = float(metrics["loss"])
-            ntok = int(metrics["num_tokens"])
-            self.trained_tokens += ntok
-            dt = time.time() - t0
-            rec = {
-                "step": step_idx,
-                "loss": loss,
-                "lr": float(sched(step_idx)),
-                "tokens": self.trained_tokens,
-                "tokens_per_sec": ntok / max(dt, 1e-9),
-                "step_time_s": dt,
-                "grad_norm": float(metrics["grad_norm"]),
-            }
-            if self.metrics_sink is not None and step_idx % tc.log_every == 0:
-                self.metrics_sink.log(rec)
-            if on_metrics is not None:
-                on_metrics(rec)
+            tok_dev = (metrics["num_tokens"] if tok_dev is None
+                       else tok_dev + metrics["num_tokens"])
+            # Host syncs are expensive (especially through remote TPU
+            # relays): fetch metric values only every log_every steps; the
+            # token count accumulates on device in between.
+            fetch = (step_idx % tc.log_every == 0 or
+                     self.step >= end_step)
+            if fetch:
+                loss = float(metrics["loss"])
+                self.trained_tokens = tok_base + int(tok_dev)
+                now = time.time()
+                dtok = self.trained_tokens - last_fetch_tok
+                rec = {
+                    "step": step_idx,
+                    "loss": loss,
+                    "lr": float(sched(step_idx)),
+                    "tokens": self.trained_tokens,
+                    "tokens_per_sec": dtok / max(now - last_fetch_t, 1e-9),
+                    "step_time_s": now - t0,
+                    "grad_norm": float(metrics["grad_norm"]),
+                }
+                last_fetch_t = now
+                last_fetch_tok = self.trained_tokens
+                if self.metrics_sink is not None:
+                    self.metrics_sink.log(rec)
+                if on_metrics is not None:
+                    on_metrics(rec)
             if val_iters and (self.trained_tokens - last_test) > tc.test_freq:
                 for name, it in val_iters.items():
                     vb = next(it)
