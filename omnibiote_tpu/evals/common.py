@@ -15,14 +15,14 @@ real token's embedding.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import EOS_TOKEN, MASK_TOKEN, PAD_TOKEN, OmniBioTAConfig
+from ..config import EOS_TOKEN, PAD_TOKEN, OmniBioTAConfig
 from ..models.omnibiota import forward
 from ..ops.segments import padding_segment_ids_np
 

@@ -24,7 +24,6 @@ import argparse
 import json
 import os
 import pickle
-from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,6 @@ import numpy as np
 import optax
 from sklearn.metrics import auc, precision_recall_curve, precision_score
 
-from ..config import OmniBioTAConfig
 from ..models.omnibiota import forward
 from ..tokenizer import SentencePieceProcessor
 from ..training.checkpoint import load_model_checkpoint

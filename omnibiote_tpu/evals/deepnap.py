@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
-from typing import Dict, List, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

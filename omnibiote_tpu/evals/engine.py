@@ -12,15 +12,14 @@ heads):
 """
 from __future__ import annotations
 
-import copy
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import EOS_TOKEN, MASK_TOKEN, PAD_TOKEN, OmniBioTAConfig
+from ..config import MASK_TOKEN, PAD_TOKEN, OmniBioTAConfig
 from ..models.omnibiota import forward
 from .common import (
     apply_linear_head, init_linear_head, make_finetune_optimizer, pad_batch,

@@ -16,11 +16,10 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 
-from ..config import OmniBioTAConfig
 from ..tokenizer import SentencePieceProcessor
 from ..training.checkpoint import load_model_checkpoint
 from .common import tokenize_sequences

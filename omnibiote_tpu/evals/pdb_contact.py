@@ -22,7 +22,7 @@ import numpy as np
 import optax
 from sklearn.metrics import auc, roc_curve
 
-from ..config import EOS_TOKEN, OmniBioTAConfig
+from ..config import EOS_TOKEN
 from ..models.omnibiota import forward
 from ..tokenizer import SentencePieceProcessor
 from ..training.checkpoint import load_model_checkpoint

@@ -33,7 +33,7 @@ import argparse
 import copy
 import json
 import random
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -41,12 +41,12 @@ import numpy as np
 import optax
 from scipy.stats import pearsonr
 
-from ..config import EOS_TOKEN, OmniBioTAConfig
+from ..config import OmniBioTAConfig
 from ..models.omnibiota import forward
 from ..tokenizer import SentencePieceProcessor
 from ..training.checkpoint import load_model_checkpoint
 from .common import (
-    apply_linear_head, make_finetune_optimizer, onecycle, pad_batch)
+    apply_linear_head, make_finetune_optimizer, pad_batch)
 
 MAX_LEN = 1024
 

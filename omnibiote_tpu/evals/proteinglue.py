@@ -27,7 +27,6 @@ from ..tokenizer import SentencePieceProcessor
 from ..training.checkpoint import load_model_checkpoint
 from .alignment import (
     align_labels_mode, align_labels_mean, minmax_normalizer, process_split)
-from .common import tokenize_sequences
 from .engine import domain_mlm_pretrain
 from .token_finetune import finetune_token_task, evaluate_token_task
 

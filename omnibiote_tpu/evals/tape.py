@@ -18,7 +18,6 @@ import json
 import os
 from typing import List
 
-import numpy as np
 from scipy.stats import spearmanr
 from sklearn.metrics import accuracy_score
 

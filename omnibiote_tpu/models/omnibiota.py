@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import OmniBioTAConfig
 from ..ops.attention import attention
-from .rope import rope_tables, apply_rope, apply_rope_half, deinterleave_perm
+from .rope import rope_tables, apply_rope_half, deinterleave_perm
 
 
 # --------------------------------------------------------------------------

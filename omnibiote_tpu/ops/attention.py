@@ -71,7 +71,7 @@ def attention(
     dropout_rng=None,
     impl: str = "flash",
     block_q: int = 512,
-    block_kv: int = 512,
+    block_kv: int = 1024,
 ):
     """Dispatch to the Pallas flash kernel or the XLA oracle.
 

@@ -21,7 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -36,7 +36,8 @@ def _ring_body(q, k, v, q_seg, kv_seg, *, scale, axis_name, ring_size):
     o = jnp.zeros((B, Tl, H, D), jnp.float32)
     # initial accumulators are device-invariant constants; mark them varying
     # over the ring axis so the scan carry types line up
-    m, l, o = (jax.lax.pvary(x, (axis_name,)) for x in (m, l, o))
+    m, l, o = (jax.lax.pcast(x, (axis_name,), to='varying')
+               for x in (m, l, o))
 
     def block(carry, _):
         m, l, o, k_blk, v_blk, kseg_blk = carry

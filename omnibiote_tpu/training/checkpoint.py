@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import jax
 import numpy as np

@@ -17,7 +17,6 @@ TrainConfig.
 """
 from __future__ import annotations
 
-import functools
 import time
 from typing import Optional, Tuple
 
@@ -25,8 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import OmniBioTAConfig, TrainConfig, PAD_TOKEN
-from ..parallel.mesh import make_mesh, batch_sharding, shard_batch_pytree
+from ..config import OmniBioTAConfig, TrainConfig
+from ..parallel.mesh import make_mesh, shard_batch_pytree
 from .mlm import mlm_loss
 from .optim import make_optimizer, scaled_lr, linear_decay
 

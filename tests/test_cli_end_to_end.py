@@ -47,7 +47,8 @@ def test_cli_train_and_resume(corpus_dir, tmp_path):
         "--test_freq", str(16 * 64 * 5.0),
         "--save_freq", str(16 * 64 * 10.0),
         "--save_dir", str(tmp_path / "ckpt"), "--save_name", "t",
-        "--max_steps", "12", "--metrics_jsonl", metrics_path,
+        "--max_steps", "12", "--log_every", "1",
+        "--metrics_jsonl", metrics_path,
         "--disable_flash",
     ]
     trainer = main(argv)
