@@ -146,7 +146,8 @@ def _linear(x, w, b=None, compute_dtype=None):
     return y
 
 
-def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs, deterministic):
+def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
+           deterministic, ring_mesh=None, ring_axis="data"):
     B, T, D = x.shape
     H, Dh = cfg.n_head, cfg.head_dim
 
@@ -185,6 +186,8 @@ def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs, determinist
         dropout_rate=0.0 if deterministic else cfg.dropout,
         dropout_rng=attn_rng,
         impl=cfg.attn_impl,
+        ring_mesh=ring_mesh,
+        ring_axis=ring_axis,
     )
     y = y.reshape(B, T, D)
     y = _linear(y, bp["attn"]["wo"], bp["attn"].get("bo"))
@@ -209,11 +212,19 @@ def forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     return_embeddings: bool = False,
+    ring_mesh=None,
+    ring_axis: str = "data",
 ) -> jnp.ndarray:
     """Forward pass (reference model.py:225-254).
 
     Returns logits (B, T, V) or, with return_embeddings, the final-LN hidden
     states (B, T, D).
+
+    Sequence parallelism: with cfg.attn_impl='ring' (plus ring_mesh /
+    ring_axis), shard the T dimension of idx/segment_ids over the mesh axis;
+    attention rotates KV around the ring while every other op is
+    position-local and shards trivially under GSPMD. RoPE uses global
+    positions because the model is written in the global view.
     """
     B, T = idx.shape
     assert T <= cfg.block_size, (
@@ -239,7 +250,8 @@ def forward(
         else:
             ks = jax.random.split(lrng, 3)
             rngs = {"attn": ks[0], "resid1": ks[1], "resid2": ks[2]}
-        out = _block(cfg, carry, bp, cos, sin, segment_ids, rngs, deterministic)
+        out = _block(cfg, carry, bp, cos, sin, segment_ids, rngs,
+                     deterministic, ring_mesh, ring_axis)
         return out, None
 
     if cfg.checkpoint_freq > 0:

@@ -72,13 +72,25 @@ def attention(
     impl: str = "flash",
     block_q: int = 512,
     block_kv: int = 1024,
+    ring_mesh=None,
+    ring_axis: str = "data",
 ):
-    """Dispatch to the Pallas flash kernel or the XLA oracle.
+    """Dispatch to the Pallas flash kernel, the ring (sequence-parallel)
+    path, or the XLA oracle.
 
-    The flash kernel requires T to be a multiple of its block size and is only
-    profitable on TPU; anything else falls back to XLA.
+    The flash kernel requires T to be a multiple of its block size and is
+    only profitable on TPU; anything else falls back to XLA. impl='ring'
+    shards the sequence over `ring_axis` of `ring_mesh` and rotates KV
+    blocks around the ICI ring (long-context; see ops/ring_attention.py).
     """
     T = q.shape[1]
+    if impl == "ring":
+        if dropout_rate > 0.0:
+            raise NotImplementedError("ring attention dropout: use dp/flash")
+        from .ring_attention import ring_attention
+        assert ring_mesh is not None, "impl='ring' requires ring_mesh"
+        return ring_attention(q, k, v, segment_ids, scale=scale,
+                              mesh=ring_mesh, seq_axis=ring_axis)
     if impl == "flash" and not causal and T % 128 == 0:
         try:
             from .flash_attention import flash_attention

@@ -50,3 +50,37 @@ def test_ring_attention_grads_finite():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4,
                                    err_msg=f"d{n}")
+
+
+def test_model_forward_with_ring_attention():
+    """Full model forward with attn_impl='ring' over a T-sharded input
+    matches the XLA-attention forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from omnibiote_tpu import OmniBioTAConfig, init_params
+    from omnibiote_tpu.models.omnibiota import forward
+    from omnibiote_tpu.ops.segments import segment_ids_jnp
+
+    mesh = make_mesh((8,), axis_names=("data",))
+    cfg = OmniBioTAConfig(n_layer=2, n_head=2, n_embd=64, vocab_size=256,
+                          block_size=256, dropout=0.0, attn_impl="xla",
+                          compute_dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    idx = rng.integers(4, 250, size=(2, 256)).astype(np.int32)
+    idx[:, 97] = 3
+    idx[:, 201] = 3
+    idx_j = jnp.asarray(idx)
+    seg = segment_ids_jnp(idx_j)
+    ref = forward(params, cfg, idx_j, segment_ids=seg,
+                  return_embeddings=True)
+
+    cfg_ring = cfg.replace(attn_impl="ring")
+    shard = NamedSharding(mesh, P(None, "data"))
+    idx_s = jax.device_put(idx_j, shard)
+    seg_s = jax.device_put(seg, shard)
+    out = jax.jit(
+        lambda p, i, s: forward(p, cfg_ring, i, segment_ids=s,
+                                return_embeddings=True,
+                                ring_mesh=mesh))(params, idx_s, seg_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
