@@ -222,3 +222,50 @@ def build_pipeline(
     packers = [pack_sequences(r, ctx_len, use_padding) for r in readers]
     counts = batch_split(batch_size, proportions)
     return mixture_batches(packers, counts, seed=seed), states
+
+
+def pack_lines_native(lines, ctx_len: int, use_padding: bool = False):
+    """Batch-pack a list of token lines with the C++ packer.
+
+    Bit-identical to pack_sequences for the same line order (including the
+    reference's drop semantics); also returns per-row segment ids. Returns
+    (rows (N, ctx), segs (N, ctx), consumed_lines) where lines[consumed:]
+    belong to the pending partial row and must be re-fed on the next call.
+    """
+    import ctypes
+    from ..tokenizer import _load_lib
+
+    lib = _load_lib()
+    flat = (np.concatenate(lines) if lines else
+            np.zeros((0,), np.int32)).astype(np.int32)
+    offsets = np.zeros(len(lines) + 1, np.int64)
+    np.cumsum([len(l) for l in lines], out=offsets[1:])
+    cap_rows = max(1, int(offsets[-1]) // max(ctx_len, 1) + 1)
+    rows = np.zeros((cap_rows, ctx_len), np.int32)
+    segs = np.zeros((cap_rows, ctx_len), np.int32)
+    consumed = ctypes.c_long(0)
+    n = lib.obt_pack_lines(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        len(lines), ctx_len, int(use_padding),
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cap_rows, ctypes.byref(consumed))
+    return rows[:n], segs[:n], int(consumed.value)
+
+
+class NativePacker:
+    """Streaming wrapper over the C++ packer: feed(lines) -> packed rows,
+    carrying the pending partial row across calls."""
+
+    def __init__(self, ctx_len: int, use_padding: bool = False):
+        self.ctx_len = ctx_len
+        self.use_padding = use_padding
+        self._pending: List[np.ndarray] = []
+
+    def feed(self, lines):
+        all_lines = self._pending + list(lines)
+        rows, segs, consumed = pack_lines_native(
+            all_lines, self.ctx_len, self.use_padding)
+        self._pending = all_lines[consumed:]
+        return rows, segs

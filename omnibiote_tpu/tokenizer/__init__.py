@@ -25,7 +25,8 @@ REFERENCE_TOKENIZER_DIR = "/root/reference/tokenizers"
 
 def _build_library() -> str:
     os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
-    srcs = [os.path.join(_CPP_DIR, "spm.cc"), os.path.join(_CPP_DIR, "capi.cc")]
+    srcs = [os.path.join(_CPP_DIR, "spm.cc"), os.path.join(_CPP_DIR, "capi.cc"),
+            os.path.join(_CPP_DIR, "packer.cc")]
     newest_src = max(os.path.getmtime(s) for s in srcs)
     if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) > newest_src:
         return _SO_PATH
@@ -69,6 +70,12 @@ def _load_lib():
         lib.obt_spm_train.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]
+        lib.obt_pack_lines.restype = ctypes.c_long
+        lib.obt_pack_lines.argtypes = [
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
         _lib = lib
     return _lib
 

@@ -165,3 +165,37 @@ def test_prefetcher_yields_device_arrays():
     assert len(got) == 5
     assert all(isinstance(g, jax.Array) for g in got)
     np.testing.assert_array_equal(np.asarray(got[3]), np.full((2, 4), 3))
+
+
+def test_native_packer_bitwise_parity():
+    """C++ packer == Python pack_sequences for the same line order, both
+    modes, and the streaming wrapper carries partial rows across feeds."""
+    from omnibiote_tpu.data.loader import pack_lines_native, NativePacker
+
+    lines = _synthetic_lines(7, 400)
+    for use_padding in (False, True):
+        expect = []
+        g = pack_sequences(iter(lines), ctx_len=32, use_padding=use_padding)
+        try:
+            while True:
+                expect.append(np.asarray(next(g), np.int32))
+        except (StopIteration, RuntimeError):
+            pass  # generator ends when the finite line list runs dry
+        # the generator blocks forever on next(reader) at stream end; emulate
+        # by capping to the rows produced from the finite list
+        rows, segs, consumed = pack_lines_native(lines, 32, use_padding)
+        assert len(rows) >= len(expect) - 1
+        for r_py, r_c in zip(expect, rows):
+            np.testing.assert_array_equal(r_py, r_c)
+        # segment ids match the host-side reference computation
+        from omnibiote_tpu.ops.segments import segment_ids_np
+        if len(rows):
+            np.testing.assert_array_equal(segs, segment_ids_np(rows))
+
+    # streaming: two feeds == one big feed
+    packer = NativePacker(32)
+    r1, _ = packer.feed(lines[:137])
+    r2, _ = packer.feed(lines[137:])
+    both = np.concatenate([r1, r2]) if len(r1) and len(r2) else (r1 if len(r1) else r2)
+    rows_all, _, _ = pack_lines_native(lines, 32, False)
+    np.testing.assert_array_equal(both, rows_all)
