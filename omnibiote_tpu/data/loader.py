@@ -269,3 +269,60 @@ class NativePacker:
             all_lines, self.ctx_len, self.use_padding)
         self._pending = all_lines[consumed:]
         return rows, segs
+
+
+def native_chunk_rows(
+    filenames: Sequence[str],
+    banned_tokens: Sequence[int] = (),
+    *,
+    ctx_len: int,
+    use_padding: bool = False,
+    seed: int = 0,
+    state: Optional[ReaderState] = None,
+    chunk_files: int = CHUNK_FILES,
+):
+    """Native-pipeline row stream: the whole chunk stage (EOS split, banned
+    filter, order shuffle, packing, segment ids) runs in one C++ pass
+    (tokenizer/cpp/packer.cc obt_pack_chunk). Semantics match shard_reader +
+    pack_sequences except the line shuffle uses its own seeded generator.
+
+    Yields (rows, segs) ndarray pairs per chunk; resumable via ReaderState.
+    """
+    import ctypes
+    from ..tokenizer import _load_lib
+
+    lib = _load_lib()
+    filenames = list(filenames)
+    st = state or ReaderState(seed=seed)
+    banned = np.asarray(list(banned_tokens), np.int32)
+    carry = np.zeros(ctx_len, np.int32)
+    carry_len = ctypes.c_int(0)
+
+    while True:
+        rng = np.random.default_rng((st.seed, st.epoch))
+        order = rng.permutation(len(filenames))
+        chunks = [order[i:i + chunk_files]
+                  for i in range(0, len(filenames), chunk_files)]
+        while st.chunk_idx < len(chunks):
+            block = np.ascontiguousarray(np.concatenate(
+                [np.load(filenames[i]) for i in chunks[st.chunk_idx]]
+            ).astype(np.int32))
+            cap = len(block) // max(ctx_len, 1) + 2
+            rows = np.zeros((cap, ctx_len), np.int32)
+            segs = np.zeros((cap, ctx_len), np.int32)
+            shuffle_seed = (st.seed * 1_000_003 + st.epoch * 97 +
+                            st.chunk_idx) & 0xFFFFFFFFFFFFFFFF
+            n = lib.obt_pack_chunk(
+                block.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                len(block),
+                banned.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                len(banned), shuffle_seed, ctx_len, int(use_padding),
+                carry.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                ctypes.byref(carry_len),
+                rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), cap)
+            st.chunk_idx += 1
+            if n:
+                yield rows[:n], segs[:n]
+        st.epoch += 1
+        st.chunk_idx = 0

@@ -76,6 +76,14 @@ def _load_lib():
             ctypes.c_long, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
+        lib.obt_pack_chunk.restype = ctypes.c_long
+        lib.obt_pack_chunk.argtypes = [
+            ctypes.POINTER(ctypes.c_int), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_long]
         _lib = lib
     return _lib
 
