@@ -1,0 +1,103 @@
+"""High-level convenience API: strings in, embeddings out.
+
+The reference exposes encode() on token ids only (README.md:26-43 shows the
+user tokenizing by hand). This wraps tokenizer + padding + pooling so a
+reference user can switch with less ceremony:
+
+    import omnibiote_tpu as obt
+    from omnibiote_tpu.api import Encoder
+
+    enc = Encoder.from_checkpoint("checkpoints/omnibiota",
+                                  tokenizer="mixed")
+    embs = enc.encode_sequences(["<DNA>ACGT...", "<protein>MKV..."],
+                                method="mean")
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import BANNED_TOKEN, OmniBioTAConfig
+from .models.omnibiota import encode, forward
+from .evals.common import pad_batch, tokenize_sequences
+
+
+class Encoder:
+    """Checkpointed model + tokenizer, batched string encoding."""
+
+    def __init__(self, params, cfg: OmniBioTAConfig, sp,
+                 banned_tokens: Sequence[int] = ()):
+        self.params = params
+        self.cfg = cfg.replace(dropout=0.0)
+        self.sp = sp
+        self.banned = list(banned_tokens)
+        self._jit_cache = {}
+
+    @classmethod
+    def from_checkpoint(cls, path: str, tokenizer: str = "mixed",
+                        tokenizer_path: Optional[str] = None):
+        from .tokenizer import SentencePieceProcessor, load_reference
+        from .training.checkpoint import load_model_checkpoint
+
+        params, cfg = load_model_checkpoint(path)
+        sp = (SentencePieceProcessor(tokenizer_path) if tokenizer_path
+              else load_reference(tokenizer))
+        banned = [BANNED_TOKEN[tokenizer]] if tokenizer in BANNED_TOKEN else []
+        return cls(params, cfg, sp, banned)
+
+    def _encode_fn(self, method: str, masked: bool):
+        key = (method, masked)
+        if key not in self._jit_cache:
+            if masked:
+                # padding-aware: PAD positions masked out of attention and
+                # excluded from mean/max pooling
+                def fn(params, tokens, segments, lengths):
+                    emb = forward(params, self.cfg, tokens,
+                                  segment_ids=segments, deterministic=True,
+                                  return_embeddings=True)
+                    T = tokens.shape[1]
+                    valid = (jnp.arange(T)[None, :] <
+                             lengths[:, None])[..., None]
+                    if method == "mean":
+                        return (jnp.sum(emb * valid, 1)
+                                / jnp.maximum(lengths[:, None], 1))
+                    if method == "first":
+                        return emb[:, 0]
+                    if method == "last":
+                        idx = jnp.maximum(lengths - 1, 0)
+                        return jnp.take_along_axis(
+                            emb, idx[:, None, None].repeat(
+                                emb.shape[-1], -1), 1)[:, 0]
+                    if method == "max":
+                        neg = jnp.where(valid, emb, -jnp.inf)
+                        return jnp.max(neg, 1)
+                    return emb
+            else:
+                def fn(params, tokens, segments, lengths):
+                    return encode(params, self.cfg, tokens, method)
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def encode_sequences(self, sequences: List[str], method: str = "mean",
+                         batch_size: int = 32, bucket: int = 128,
+                         mask_padding: bool = True) -> np.ndarray:
+        """Tokenize, pad, and pool. mask_padding=True keeps PAD positions
+        out of attention and pooling (the reference's bare encode() lets
+        padding leak into the statistics, model.py:256-278); set False for
+        bit-faithful reference behaviour."""
+        toks = tokenize_sequences(self.sp, sequences,
+                                  banned_tokens=self.banned)
+        fn = self._encode_fn(method, mask_padding)
+        outs = []
+        for i in range(0, len(toks), batch_size):
+            chunk = toks[i:i + batch_size]
+            x, seg = pad_batch(chunk, bucket, self.cfg.block_size)
+            lengths = jnp.asarray([min(len(t), x.shape[1]) for t in chunk],
+                                  jnp.int32)
+            segments = jnp.asarray(seg) if mask_padding else None
+            out = fn(self.params, jnp.asarray(x), segments, lengths)
+            outs.append(np.asarray(out, np.float32))
+        return np.concatenate(outs) if outs else np.zeros((0, self.cfg.n_embd))

@@ -1,5 +1,8 @@
 """TAPE contact prediction (ProteinNet).
 
+Deviation note: backbone dropout is off during fine-tuning here (the
+reference trains with model.train()); protocol and metrics unchanged.
+
 Protocol from /root/reference/evals/TAPE/contact_eval_full.py.py:
   * ProteinNet JSON -> pairwise distance matrices -> contact maps (< 8 A),
     valid-mask outer products, medium (12-23) / long (>=24) range masks

@@ -1,5 +1,8 @@
 """PDB peptide–nucleotide contact prediction (cross-modal).
 
+Deviation note: backbone dropout is off during fine-tuning here (the
+reference trains with model.train()); protocol and metrics unchanged.
+
 Protocol from /root/reference/evals/PDB_contact_eval.py: per-residue binary
 contact labels (closest_nucleotide distance <= 8 A) from
 peptide-nucleotide-distances.json; input ids

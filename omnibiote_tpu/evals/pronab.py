@@ -1,5 +1,10 @@
 """ProNAB protein–nucleotide binding-affinity evals.
 
+Deviation note: the reference runs these fine-tunes with model.train()
+(dropout active on the backbone); here the backbone runs deterministically
+(eval-mode) during fine-tuning — regularisation noise differs, protocol and
+metrics are unchanged.
+
 Protocol from /root/reference/evals/pronab_crossval.py and
 train_pronab_all.py (shared core):
   * dataset: pronab_no_mutations.json records -> (tagged nucleotide seq,

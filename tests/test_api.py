@@ -1,0 +1,39 @@
+"""High-level Encoder API: strings -> pooled embeddings."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    from omnibiote_tpu import OmniBioTAConfig, TrainConfig
+    from omnibiote_tpu.training.train import Trainer
+    cfg = OmniBioTAConfig(n_layer=1, n_head=2, n_embd=32, vocab_size=2 ** 16,
+                          block_size=256, dropout=0.0, attn_impl="xla",
+                          compute_dtype="float32")
+    tc = TrainConfig(batch_size=8, mini_batch_size=1, ctx_len=256,
+                     token_budget=1e9,
+                     save_dir=str(tmp_path_factory.mktemp("ck")), save_name="m")
+    return Trainer(cfg, tc, batch_iter=iter(())).save_checkpoint(final=True)
+
+
+def test_encoder_api(ckpt):
+    from omnibiote_tpu.api import Encoder
+
+    enc = Encoder.from_checkpoint(ckpt, tokenizer="mixed")
+    seqs = ["<DNA>ACGTACGTAGGCT", "<protein>MKVLAAGIWQRST",
+            "<DNA>" + "ACGT" * 40]
+    for method in ("mean", "first", "last", "max"):
+        out = enc.encode_sequences(seqs, method=method, batch_size=2)
+        assert out.shape == (3, 32)
+        assert np.isfinite(out).all()
+
+    # padding-masked mean differs from the reference-faithful (leaky) mean
+    # for batches with mixed lengths
+    masked = enc.encode_sequences(seqs, method="mean", mask_padding=True)
+    leaky = enc.encode_sequences(seqs, method="mean", mask_padding=False)
+    assert np.abs(masked - leaky).max() > 1e-6
+
+    # single-sequence batch: first-token pooling is padding-invariant
+    a = enc.encode_sequences([seqs[0]], method="first")
+    b = enc.encode_sequences(seqs, method="first")[:1]
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
