@@ -1,8 +1,5 @@
 """TAPE contact prediction (ProteinNet).
 
-Deviation note: backbone dropout is off during fine-tuning here (the
-reference trains with model.train()); protocol and metrics unchanged.
-
 Protocol from /root/reference/evals/TAPE/contact_eval_full.py.py:
   * ProteinNet JSON -> pairwise distance matrices -> contact maps (< 8 A),
     valid-mask outer products, medium (12-23) / long (>=24) range masks
@@ -214,9 +211,11 @@ def _bucket(n):
 def _make_fns(cfg, tx):
     eval_cfg = cfg.replace(dropout=0.0)
 
-    def pair_features(joint, tokens, n_inner):
+    def pair_features(joint, tokens, n_inner, rng=None):
         # tokens: (1, L+2); embeddings of inner tokens -> (1, n, HEAD_DIM)
-        emb = forward(joint["model"], eval_cfg, tokens, deterministic=True,
+        det = rng is None or cfg.dropout == 0.0
+        emb = forward(joint["model"], eval_cfg if det else cfg, tokens,
+                      deterministic=det, rng=rng,
                       return_embeddings=True)[:, 1:-1]
         emb = apply_linear_head(joint["head"], emb).astype(jnp.float32)
         n = emb.shape[1]
@@ -227,9 +226,9 @@ def _make_fns(cfg, tx):
         return f.transpose(0, 3, 1, 2)  # (1, 2*HEAD_DIM, n, n)
 
     @jax.jit
-    def grad_step(joint, tokens, cm, mask, nsr, weight):
+    def grad_step(joint, tokens, cm, mask, nsr, weight, rng):
         def loss_fn(j):
-            feats = pair_features(j, tokens, cm.shape[-1])
+            feats = pair_features(j, tokens, cm.shape[-1], rng)
             vmask = mask[None, None]
             probs = apply_contact_predictor(j["cnn"], feats, vmask)[0, 0]
             eps = 1e-7
@@ -387,6 +386,7 @@ def run_contact_eval(
     val_every = max(1, num_steps // num_tests)
     results = {}
 
+    drop_rng = jax.random.PRNGKey(seed + 52000)
     for step in range(num_steps):
         acc = None
         for _ in range(num_accumulation_steps):
@@ -395,9 +395,10 @@ def run_contact_eval(
                 continue
             tok_p, cm, mk, ns = _pad_sample(tr_tok[i], tr_cm[i], tr_mask[i],
                                             tr_nsr[i])
+            drop_rng, k = jax.random.split(drop_rng)
             _, grads = grad_step(
                 joint, jnp.asarray(tok_p), jnp.asarray(cm), jnp.asarray(mk),
-                jnp.asarray(ns), 1.0 / num_accumulation_steps)
+                jnp.asarray(ns), 1.0 / num_accumulation_steps, k)
             acc = grads if acc is None else jax.tree.map(jnp.add, acc, grads)
         if acc is not None:
             joint, opt_state = apply_step(joint, opt_state, acc)

@@ -1,8 +1,5 @@
 """PDB peptide–nucleotide contact prediction (cross-modal).
 
-Deviation note: backbone dropout is off during fine-tuning here (the
-reference trains with model.train()); protocol and metrics unchanged.
-
 Protocol from /root/reference/evals/PDB_contact_eval.py: per-residue binary
 contact labels (closest_nucleotide distance <= 8 A) from
 peptide-nucleotide-distances.json; input ids
@@ -139,11 +136,12 @@ def run_pdb_contact(
         eval_cfg = cfg.replace(dropout=0.0)
 
         @jax.jit
-        def grad_step(joint, tokens, segments, labels, lmask, weights):
+        def grad_step(joint, tokens, segments, labels, lmask, weights, rng):
             def loss_fn(j):
-                emb = forward(j["model"], eval_cfg, tokens,
-                              segment_ids=segments, deterministic=True,
-                              return_embeddings=True)
+                det = cfg.dropout == 0.0
+                emb = forward(j["model"], eval_cfg if det else cfg, tokens,
+                              segment_ids=segments, deterministic=det,
+                              rng=rng, return_embeddings=True)
                 logit = apply_linear_head(
                     j["head"], emb[:, 1:]).astype(jnp.float32)[..., 0]
                 p = jax.nn.sigmoid(logit)
@@ -181,6 +179,7 @@ def run_pdb_contact(
             return (jnp.asarray(x), jnp.asarray(seg), jnp.asarray(labs),
                     jnp.asarray(lmask))
 
+        drop_rng = jax.random.PRNGKey(seed + 41000 + fold)
         for step in range(num_steps):
             acc = None
             idx = rng_np.integers(0, len(X_train),
@@ -189,7 +188,8 @@ def run_pdb_contact(
                 sub = idx[j:j + micro_batch]
                 x, seg, labs, lmask = stage(sub)
                 w = jnp.full((len(sub),), 1.0 / num_accumulation_steps)
-                _, grads = grad_step(joint, x, seg, labs, lmask, w)
+                drop_rng, k = jax.random.split(drop_rng)
+                _, grads = grad_step(joint, x, seg, labs, lmask, w, k)
                 acc = grads if acc is None else jax.tree.map(
                     jnp.add, acc, grads)
             joint, opt_state = apply_step(joint, opt_state, acc)

@@ -1,10 +1,5 @@
 """ProNAB protein–nucleotide binding-affinity evals.
 
-Deviation note: the reference runs these fine-tunes with model.train()
-(dropout active on the backbone); here the backbone runs deterministically
-(eval-mode) during fine-tuning — regularisation noise differs, protocol and
-metrics are unchanged.
-
 Protocol from /root/reference/evals/pronab_crossval.py and
 train_pronab_all.py (shared core):
   * dataset: pronab_no_mutations.json records -> (tagged nucleotide seq,
@@ -117,28 +112,35 @@ def group_by_peptide(mutation_records: List[dict]) -> Dict[str, List[dict]]:
 # --------------------------------------------------------------------------
 
 def _make_steps(cfg: OmniBioTAConfig, tx):
-    """(regression grad step, pair grad step, predict fn), all jitted."""
+    """(regression grad step, pair grad step, predict fn), all jitted.
 
-    def g0_pred(joint, tokens, segments):
-        emb = forward(joint["model"], cfg.replace(dropout=0.0), tokens,
-                      segment_ids=segments, deterministic=True,
+    Training forwards run with the model's dropout active (the reference
+    fine-tunes in model.train() mode, pronab_crossval.py:234,313);
+    prediction is deterministic."""
+
+    def g0_pred(joint, tokens, segments, rng=None):
+        det = rng is None or cfg.dropout == 0.0
+        emb = forward(joint["model"],
+                      cfg.replace(dropout=0.0) if det else cfg, tokens,
+                      segment_ids=segments, deterministic=det, rng=rng,
                       return_embeddings=True)
         return apply_linear_head(joint["head"], emb[:, 0])[:, 0]
 
     @jax.jit
-    def reg_grad(joint, tokens, segments, targets, weights):
+    def reg_grad(joint, tokens, segments, targets, weights, rng):
         def loss_fn(j):
-            out = g0_pred(j, tokens, segments).astype(jnp.float32)
+            out = g0_pred(j, tokens, segments, rng).astype(jnp.float32)
             per = (out - targets) ** 2
             return jnp.sum(per * weights)
         return jax.value_and_grad(loss_fn)(joint)
 
     @jax.jit
     def pair_grad(joint, tw, sw, tm, sm, wild_g0, mut_g0, weights,
-                  g0_mean, g0_std):
+                  g0_mean, g0_std, rng):
         def loss_fn(j):
-            gw = g0_pred(j, tw, sw).astype(jnp.float32) * g0_std + g0_mean
-            gm = g0_pred(j, tm, sm).astype(jnp.float32) * g0_std + g0_mean
+            r1, r2 = jax.random.split(rng)
+            gw = g0_pred(j, tw, sw, r1).astype(jnp.float32) * g0_std + g0_mean
+            gm = g0_pred(j, tm, sm, r2).astype(jnp.float32) * g0_std + g0_mean
             diff = gm - gw
             gt_diff = mut_g0 - wild_g0
             per = ((diff - gt_diff) ** 2 + (gw - wild_g0) ** 2
@@ -151,7 +153,8 @@ def _make_steps(cfg: OmniBioTAConfig, tx):
         updates, opt_state = tx.update(grads, opt_state, joint)
         return optax.apply_updates(joint, updates), opt_state
 
-    predict = jax.jit(g0_pred)
+    predict = jax.jit(lambda joint, tokens, segments: g0_pred(
+        joint, tokens, segments, None))
     return reg_grad, pair_grad, apply_step, predict
 
 
@@ -259,6 +262,7 @@ def run_pronab(
         total_steps=num_steps, schedule="onecycle")
     reg_grad, pair_grad, apply_step, predict = _make_steps(cfg, tx)
 
+    drop_rng = jax.random.PRNGKey(seed + 31337)
     print(f"Starting pre-training ({num_steps} steps)")
     for step in range(num_steps):
         acc = None
@@ -268,7 +272,8 @@ def run_pronab(
             x, seg = _batch([samples[i] for i in sub])
             t = jnp.asarray(targets[sub], jnp.float32)
             w = jnp.full((len(sub),), 1.0 / num_accumulation_steps)
-            _, grads = reg_grad(joint, x, seg, t, w)
+            drop_rng, k = jax.random.split(drop_rng)
+            _, grads = reg_grad(joint, x, seg, t, w, k)
             acc = _accumulate(acc, grads)
         joint, opt_state = apply_step(joint, opt_state, acc)
 
@@ -326,8 +331,9 @@ def run_pronab(
                 wg = jnp.asarray([r["wild_G0"] for r in sub], jnp.float32)
                 mg = jnp.asarray([r["mutant_G0"] for r in sub], jnp.float32)
                 w = jnp.full((len(sub),), 1.0 / num_accumulation_steps)
+                drop_rng, k = jax.random.split(drop_rng)
                 _, grads = pair_grad(joint, xw, sw, xm, sm, wg, mg, w,
-                                     g0_mean, g0_std)
+                                     g0_mean, g0_std, k)
                 acc = _accumulate(acc, grads)
             joint, opt_state = apply_step(joint, opt_state, acc)
 
