@@ -66,6 +66,8 @@ def mlm_loss(
     mask_prob: float = 0.15,
     deterministic: bool = False,
     capacity_frac: float = 0.25,
+    ring_mesh=None,
+    ring_axis: str = "data",
 ) -> Tuple[jnp.ndarray, dict]:
     """Masked-mean cross-entropy for one micro-batch.
 
@@ -79,7 +81,23 @@ def mlm_loss(
 
     emb = forward(params, cfg, masked_ids, segment_ids=segment_ids,
                   deterministic=deterministic, rng=rng_drop,
-                  return_embeddings=True)
+                  return_embeddings=True, ring_mesh=ring_mesh,
+                  ring_axis=ring_axis)
+
+    if ring_mesh is not None:
+        # Sequence-parallel mode: the masked-position compaction argsorts
+        # over T, which would gather across sequence shards; use the dense
+        # CE instead (every op stays position-local and shards over T).
+        scale = jnp.asarray(cfg.mup_output_mult / cfg.width_mult, emb.dtype)
+        logits = ((emb * scale) @ params["lm_head"].astype(emb.dtype))
+        logits = logits.astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tokens[..., None], -1)[..., 0]
+        nll = jnp.where(mask, nll, 0.0)
+        masked_count = jnp.sum(mask)
+        loss = jnp.sum(nll) / jnp.maximum(masked_count, 1)
+        return loss, {"masked_count": masked_count,
+                      "num_tokens": jnp.sum(tokens != PAD_TOKEN)}
 
     T = tokens.shape[1]
     capacity = max(int(T * capacity_frac), 8)

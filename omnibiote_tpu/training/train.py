@@ -35,7 +35,7 @@ from .optim import make_optimizer, scaled_lr, linear_decay
 # --------------------------------------------------------------------------
 
 def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
-                    optimizer):
+                    optimizer, ring_mesh=None):
     """Build the jitted train step.
 
     Signature of the returned fn:
@@ -50,7 +50,9 @@ def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
         def loss_fn(p):
             return mlm_loss(p, model_cfg, tokens, segments, rng,
                             mask_prob=train_cfg.mask_prob,
-                            deterministic=model_cfg.dropout == 0.0)
+                            deterministic=model_cfg.dropout == 0.0,
+                            ring_mesh=ring_mesh,
+                            ring_axis=train_cfg.dp_axis)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return loss, aux, grads
 
@@ -160,7 +162,10 @@ class Trainer:
         tc = train_cfg
         # mini_batch_size is per-device (the reference's per-process micro
         # batch); one accumulation slot processes mini * n_devices rows.
-        self.global_micro = tc.mini_batch_size * self.n_dev
+        # In sp mode the sequence (not the batch) shards over devices, so
+        # the micro batch is global as given.
+        self.global_micro = (tc.mini_batch_size if tc.sharding == "sp"
+                             else tc.mini_batch_size * self.n_dev)
         assert tc.batch_size % self.global_micro == 0, (
             f"batch_size {tc.batch_size} must divide by mini_batch_size *"
             f" n_devices = {self.global_micro}")
@@ -195,7 +200,12 @@ class Trainer:
         self._grand: Optional[np.ndarray] = None      # leftover rows (tokens)
         self._grand_seg: Optional[np.ndarray] = None
 
-        step_fn = make_train_step(model_cfg, tc, self.optimizer)
+        ring_mesh = self.mesh if (tc.sharding == "sp"
+                                  or model_cfg.attn_impl == "ring") else None
+        if ring_mesh is not None and model_cfg.attn_impl != "ring":
+            raise ValueError("sharding='sp' requires attn_impl='ring'")
+        step_fn = make_train_step(model_cfg, tc, self.optimizer,
+                                  ring_mesh=ring_mesh)
         self._train_step = jax.jit(step_fn, donate_argnums=(0, 1))
         self._eval_step = jax.jit(make_eval_step(model_cfg, tc))
 
@@ -234,7 +244,9 @@ class Trainer:
         weights = np.zeros((A,), np.float32)
         weights[:active] = 1.0
         batch = {"tokens": tokens, "segments": segments}
-        batch = shard_batch_pytree(self.mesh, batch, batch_dim=1)
+        # dp: shard rows (dim 1); sp: shard the sequence (dim 2)
+        bdim = 2 if self.train_cfg.sharding == "sp" else 1
+        batch = shard_batch_pytree(self.mesh, batch, batch_dim=bdim)
         return batch, jnp.asarray(weights)
 
     # -- main loop ---------------------------------------------------------

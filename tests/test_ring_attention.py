@@ -84,3 +84,41 @@ def test_model_forward_with_ring_attention():
                                 ring_mesh=mesh))(params, idx_s, seg_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sp_training_step():
+    """Sequence-parallel training: T sharded over the mesh, ring attention,
+    dense CE; loss matches the data-parallel (replicated-compute) step."""
+    from omnibiote_tpu import OmniBioTAConfig, TrainConfig, EOS_TOKEN
+    from omnibiote_tpu.training.train import Trainer
+    from omnibiote_tpu.ops.segments import segment_ids_np
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            toks = rng.integers(4, 250, size=(4, 256)).astype(np.int32)
+            toks[:, 100] = EOS_TOKEN
+            yield {"tokens": toks, "segments": segment_ids_np(toks)}
+
+    cfg_sp = OmniBioTAConfig(n_layer=2, n_head=2, n_embd=64, vocab_size=256,
+                             block_size=256, dropout=0.0, attn_impl="ring",
+                             compute_dtype="float32", mup_base_n_embd=32)
+    mesh = make_mesh((8,), axis_names=("data",))
+    tc = TrainConfig(batch_size=4, mini_batch_size=2, ctx_len=256, lr=1e-2,
+                     token_budget=4 * 256 * 100.0, seed=0, sharding="sp")
+    tr = Trainer(cfg_sp, tc, batch_iter=batches(), mesh=mesh)
+    losses_sp = [float(tr.train_step_once()["loss"]) for _ in range(3)]
+    assert all(np.isfinite(l) for l in losses_sp)
+
+    # dp reference on the same data stream (fresh identical rng)
+    rng = np.random.default_rng(0)
+    cfg_dp = cfg_sp.replace(attn_impl="xla")
+    tc_dp = tc.replace(sharding="replicated", mini_batch_size=4,
+                       batch_size=32)  # 4 rows/slot * 8 devices... no:
+    # use a single-device mesh so shapes match the sp run exactly
+    mesh1 = make_mesh((1,), devices=jax.devices()[:1])
+    tc_dp = tc.replace(sharding="replicated")
+    tr_dp = Trainer(cfg_dp, tc_dp, batch_iter=batches(), mesh=mesh1)
+    losses_dp = [float(tr_dp.train_step_once()["loss"]) for _ in range(3)]
+    np.testing.assert_allclose(losses_sp, losses_dp, rtol=2e-4, atol=2e-4)
