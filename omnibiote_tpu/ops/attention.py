@@ -85,12 +85,12 @@ def attention(
     """
     T = q.shape[1]
     if impl == "ring":
-        if dropout_rate > 0.0:
-            raise NotImplementedError("ring attention dropout: use dp/flash")
         from .ring_attention import ring_attention
         assert ring_mesh is not None, "impl='ring' requires ring_mesh"
         return ring_attention(q, k, v, segment_ids, scale=scale,
-                              mesh=ring_mesh, seq_axis=ring_axis)
+                              mesh=ring_mesh, seq_axis=ring_axis,
+                              dropout_rate=dropout_rate,
+                              dropout_rng=dropout_rng)
     if impl == "flash" and not causal and T % 128 == 0:
         try:
             from .flash_attention import flash_attention

@@ -26,10 +26,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _ring_body(q, k, v, q_seg, kv_seg, *, scale, axis_name, ring_size):
-    """Per-device shard_map body. q,k,v: (B, Tl, H, D); segs: (B, Tl)."""
+def _ring_body(q, k, v, q_seg, kv_seg, rng, *, scale, axis_name, ring_size,
+               dropout_rate):
+    """Per-device shard_map body. q,k,v: (B, Tl, H, D); segs: (B, Tl);
+    rng: (2,) uint32 key data (replicated), folded per (device, step) for
+    attention-probability dropout."""
     N = ring_size
     B, Tl, H, D = q.shape
+    my_idx = jax.lax.axis_index(axis_name)
 
     m = jnp.full((B, H, Tl, 1), -jnp.inf, jnp.float32)
     l = jnp.zeros((B, H, Tl, 1), jnp.float32)
@@ -39,7 +43,7 @@ def _ring_body(q, k, v, q_seg, kv_seg, *, scale, axis_name, ring_size):
     m, l, o = (jax.lax.pcast(x, (axis_name,), to='varying')
                for x in (m, l, o))
 
-    def block(carry, _):
+    def block(carry, step):
         m, l, o, k_blk, v_blk, kseg_blk = carry
         s = jnp.einsum("bthd,bshd->bhts", q, k_blk,
                        preferred_element_type=jnp.float32) * scale
@@ -51,8 +55,15 @@ def _ring_body(q, k, v, q_seg, kv_seg, *, scale, axis_name, ring_size):
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            key = jax.random.wrap_key_data(rng)
+            key = jax.random.fold_in(jax.random.fold_in(key, my_idx), step)
+            keep = jax.random.bernoulli(key, 1.0 - dropout_rate, p.shape)
+            p_use = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        else:
+            p_use = p
         o_new = o * alpha.transpose(0, 2, 1, 3) + jnp.einsum(
-            "bhts,bshd->bthd", p.astype(v_blk.dtype), v_blk,
+            "bhts,bshd->bthd", p_use.astype(v_blk.dtype), v_blk,
             preferred_element_type=jnp.float32)
 
         perm = [(i, (i + 1) % N) for i in range(N)]
@@ -62,9 +73,7 @@ def _ring_body(q, k, v, q_seg, kv_seg, *, scale, axis_name, ring_size):
         return (m_new, l_new, o_new, k_blk, v_blk, kseg_blk), None
 
     carry = (m, l, o, k, v, kv_seg)
-    # static ring length: N is a python int only under shard_map with a
-    # concrete mesh; use fori-style scan over N steps
-    (m, l, o, _, _, _), _ = jax.lax.scan(block, carry, None, length=N)
+    (m, l, o, _, _, _), _ = jax.lax.scan(block, carry, jnp.arange(N))
 
     l_t = l.transpose(0, 2, 1, 3)  # (B, Tl, H, 1)
     o = o / jnp.where(l_t == 0.0, 1.0, l_t)
@@ -80,20 +89,33 @@ def ring_attention(
     scale: float,
     mesh: Mesh,
     seq_axis: str = "data",
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
-    """Sequence-parallel attention: shard T over `seq_axis`, rotate KV."""
+    """Sequence-parallel attention: shard T over `seq_axis`, rotate KV.
+    Attention-probability dropout draws per-(device, ring-step) keys folded
+    from dropout_rng."""
     B, T, H, D = q.shape
     if segment_ids is None:
         segment_ids = jnp.zeros((B, T), jnp.int32)
+    if dropout_rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires dropout_rng")
+    if dropout_rng is None:
+        key_data = jnp.zeros((2,), jnp.uint32)
+    else:
+        key_data = jax.random.key_data(dropout_rng).astype(jnp.uint32)
+        if key_data.shape != (2,):
+            key_data = jnp.resize(key_data, (2,))
 
     spec_qkv = P(None, seq_axis, None, None)
     spec_seg = P(None, seq_axis)
 
     body = functools.partial(_ring_body, scale=scale, axis_name=seq_axis,
-                             ring_size=int(mesh.shape[seq_axis]))
+                             ring_size=int(mesh.shape[seq_axis]),
+                             dropout_rate=float(dropout_rate))
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_seg, spec_seg),
+        in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_seg, spec_seg, P()),
         out_specs=spec_qkv,
     )
-    return fn(q, k, v, segment_ids, segment_ids)
+    return fn(q, k, v, segment_ids, segment_ids, key_data)

@@ -122,3 +122,45 @@ def test_sp_training_step():
     tr_dp = Trainer(cfg_dp, tc_dp, batch_iter=batches(), mesh=mesh1)
     losses_dp = [float(tr_dp.train_step_once()["loss"]) for _ in range(3)]
     np.testing.assert_allclose(losses_sp, losses_dp, rtol=2e-4, atol=2e-4)
+
+
+def test_ring_attention_dropout():
+    """Ring dropout: deterministic per rng, unbiased-ish, grads finite, and
+    a dropout-active sp train step runs."""
+    mesh = make_mesh((8,), axis_names=("data",))
+    q, k, v, seg = _inputs(B=1, T=256, H=2, D=32, seed=5)
+    scale = 8.0 / 256
+    rng = jax.random.key(3, impl="rbg")
+    o1 = ring_attention(q, k, v, seg, scale=scale, mesh=mesh,
+                        dropout_rate=0.3, dropout_rng=rng)
+    o2 = ring_attention(q, k, v, seg, scale=scale, mesh=mesh,
+                        dropout_rate=0.3, dropout_rng=rng)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    ref = xla_attention(q, k, v, scale=scale, segment_ids=seg)
+    assert np.abs(np.asarray(o1) - np.asarray(ref)).max() > 1e-4  # dropout on
+    assert abs(float(jnp.mean(o1)) - float(jnp.mean(ref))) < 0.05
+
+    g = jax.grad(lambda qq: jnp.sum(ring_attention(
+        qq, k, v, seg, scale=scale, mesh=mesh, dropout_rate=0.3,
+        dropout_rng=rng) ** 2))(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # dropout-active sp training step
+    from omnibiote_tpu import OmniBioTAConfig, TrainConfig, EOS_TOKEN
+    from omnibiote_tpu.training.train import Trainer
+    from omnibiote_tpu.ops.segments import segment_ids_np
+    rng_np = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            toks = rng_np.integers(4, 250, size=(2, 256)).astype(np.int32)
+            toks[:, 100] = EOS_TOKEN
+            yield {"tokens": toks, "segments": segment_ids_np(toks)}
+
+    cfg = OmniBioTAConfig(n_layer=1, n_head=2, n_embd=64, vocab_size=256,
+                          block_size=256, dropout=0.1, attn_impl="ring",
+                          compute_dtype="float32", mup_base_n_embd=32)
+    tc = TrainConfig(batch_size=2, mini_batch_size=2, ctx_len=256, lr=1e-2,
+                     token_budget=2 * 256 * 50.0, seed=0, sharding="sp")
+    tr = Trainer(cfg, tc, batch_iter=batches(), mesh=mesh)
+    assert np.isfinite(float(tr.train_step_once()["loss"]))
