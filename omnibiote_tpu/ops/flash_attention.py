@@ -487,3 +487,39 @@ def flash_attention(
     # no transposes (they cost ~7 ms/step at omnibiote-small scale)
     return _flash(q, k, v, segment_ids, segment_ids, seed,
                   scale, block_q, block_kv, float(dropout_rate))
+
+
+def flash_attention_tp(q, k, v, *, segment_ids=None, scale,
+                       mesh, model_axis="model", dropout_rate=0.0,
+                       dropout_rng=None, block_q=512, block_kv=1024):
+    """Head-parallel flash attention: shard H over `model_axis` and run the
+    kernel per-device on its local heads (zero communication — head
+    parallelism needs none; boom_attention_tricks.md §14). Use under tensor
+    parallelism so the kernel consumes the already-head-sharded qkv
+    activations instead of forcing an all-gather."""
+    import functools as _ft
+    from jax.sharding import PartitionSpec as P
+
+    if segment_ids is None:
+        segment_ids = jnp.zeros((q.shape[0], q.shape[1]), jnp.int32)
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        seed = jax.random.randint(dropout_rng, (), jnp.iinfo(jnp.int32).min,
+                                  jnp.iinfo(jnp.int32).max, jnp.int32)
+    else:
+        seed = jnp.int32(0)
+
+    def body(q, k, v, seg, seed):
+        # fold the axis index so head shards draw independent dropout bits
+        idx = jax.lax.axis_index(model_axis)
+        return _flash(q, k, v, seg, seg, seed + idx, scale, block_q,
+                      block_kv, float(dropout_rate))
+
+    spec = P(None, None, model_axis, None)
+    # check_vma=False: pallas_call outputs don't carry varying-axis metadata
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(spec, spec, spec, P(), P()),
+        out_specs=spec, check_vma=False)
+    return fn(q, k, v, segment_ids, seed)

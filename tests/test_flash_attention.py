@@ -125,3 +125,30 @@ def test_bf16_forward_reasonable():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                rtol=0.05, atol=0.05)
+
+
+def test_flash_attention_tp_head_sharded():
+    """Head-parallel flash via shard_map matches the dense oracle."""
+    from omnibiote_tpu.ops.flash_attention import flash_attention_tp
+    from omnibiote_tpu.parallel.mesh import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh((8,), axis_names=("model",))
+    q, k, v, seg = _inputs(B=2, T=256, H=8, D=32, seed=6)
+    shard = NamedSharding(mesh, P(None, None, "model", None))
+    q, k, v = (jax.device_put(x, shard) for x in (q, k, v))
+    out = jax.jit(lambda q, k, v: flash_attention_tp(
+        q, k, v, segment_ids=seg, scale=SCALE, mesh=mesh,
+        block_q=128, block_kv=128))(q, k, v)
+    ref = xla_attention(q, k, v, scale=SCALE, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # grads flow through the sharded kernel
+    g = jax.grad(lambda qq: jnp.sum(flash_attention_tp(
+        qq, k, v, segment_ids=seg, scale=SCALE, mesh=mesh,
+        block_q=128, block_kv=128) ** 2))(q)
+    g_ref = jax.grad(lambda qq: jnp.sum(
+        xla_attention(qq, k, v, scale=SCALE, segment_ids=seg) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=5e-4, atol=5e-4)
