@@ -147,7 +147,8 @@ def _linear(x, w, b=None, compute_dtype=None):
 
 
 def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
-           deterministic, ring_mesh=None, ring_axis="data"):
+           deterministic, ring_mesh=None, ring_axis="data", tp_mesh=None,
+           tp_axis="model"):
     B, T, D = x.shape
     H, Dh = cfg.n_head, cfg.head_dim
 
@@ -188,6 +189,8 @@ def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
         impl=cfg.attn_impl,
         ring_mesh=ring_mesh,
         ring_axis=ring_axis,
+        tp_mesh=tp_mesh,
+        tp_axis=tp_axis,
     )
     y = y.reshape(B, T, D)
     y = _linear(y, bp["attn"]["wo"], bp["attn"].get("bo"))
@@ -214,6 +217,8 @@ def forward(
     return_embeddings: bool = False,
     ring_mesh=None,
     ring_axis: str = "data",
+    tp_mesh=None,
+    tp_axis: str = "model",
 ) -> jnp.ndarray:
     """Forward pass (reference model.py:225-254).
 
@@ -251,7 +256,7 @@ def forward(
             ks = jax.random.split(lrng, 3)
             rngs = {"attn": ks[0], "resid1": ks[1], "resid2": ks[2]}
         out = _block(cfg, carry, bp, cos, sin, segment_ids, rngs,
-                     deterministic, ring_mesh, ring_axis)
+                     deterministic, ring_mesh, ring_axis, tp_mesh, tp_axis)
         return out, None
 
     if cfg.checkpoint_freq > 0:

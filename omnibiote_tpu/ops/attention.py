@@ -74,6 +74,8 @@ def attention(
     block_kv: int = 1024,
     ring_mesh=None,
     ring_axis: str = "data",
+    tp_mesh=None,
+    tp_axis: str = "model",
 ):
     """Dispatch to the Pallas flash kernel, the ring (sequence-parallel)
     path, or the XLA oracle.
@@ -84,6 +86,15 @@ def attention(
     blocks around the ICI ring (long-context; see ops/ring_attention.py).
     """
     T = q.shape[1]
+    if (tp_mesh is not None and impl == "flash" and not causal
+            and T % 128 == 0):
+        # tensor-parallel: run the kernel on each device's head shard
+        from .flash_attention import flash_attention_tp
+        return flash_attention_tp(
+            q, k, v, segment_ids=segment_ids, scale=scale, mesh=tp_mesh,
+            model_axis=tp_axis, dropout_rate=dropout_rate,
+            dropout_rng=dropout_rng,
+            block_q=min(block_q, T), block_kv=min(block_kv, T))
     if impl == "ring":
         from .ring_attention import ring_attention
         assert ring_mesh is not None, "impl='ring' requires ring_mesh"

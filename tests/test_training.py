@@ -232,3 +232,31 @@ def test_tp_training_step_on_2d_mesh():
     assert "model" in str(wqkv.sharding.spec)
     m = tr.train_step_once()
     assert np.isfinite(float(m["loss"]))
+
+
+def test_tp_forward_with_sharded_flash_kernel():
+    """TP forward using the head-sharded Pallas kernel (tp_mesh threading)
+    matches the replicated XLA forward."""
+    from omnibiote_tpu.parallel.mesh import make_mesh
+    from omnibiote_tpu.parallel.sharding import shard_params
+    from omnibiote_tpu.models.omnibiota import init_params, forward
+    from omnibiote_tpu.ops.segments import segment_ids_jnp
+
+    cfg = OmniBioTAConfig(n_layer=2, n_head=8, n_embd=64, vocab_size=128,
+                          block_size=128, dropout=0.0, attn_impl="flash",
+                          compute_dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    idx = jnp.asarray(
+        np.random.default_rng(2).integers(4, 120, size=(2, 128)), jnp.int32)
+    idx = idx.at[:, 60].set(3)
+    seg = segment_ids_jnp(idx)
+    ref = forward(params, cfg.replace(attn_impl="xla"), idx, segment_ids=seg,
+                  return_embeddings=True)
+
+    mesh = make_mesh((1, 8), axis_names=("data", "model"))
+    tp_params, _ = shard_params(params, "tp", mesh)
+    out = jax.jit(lambda p, i, s: forward(
+        p, cfg, i, segment_ids=s, return_embeddings=True,
+        tp_mesh=mesh))(tp_params, idx, seg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
