@@ -86,8 +86,11 @@ def attention(
     blocks around the ICI ring (long-context; see ops/ring_attention.py).
     """
     T = q.shape[1]
-    if (tp_mesh is not None and impl == "flash" and not causal
-            and T % 128 == 0):
+    H, D = q.shape[2], q.shape[3]
+    # Mosaic tiles the last two dims of each block: head_dim must be a lane
+    # multiple (or the whole feature dim when H == 1) for the flash path
+    flash_ok = (T % 128 == 0) and (D % 128 == 0 or H == 1)
+    if (tp_mesh is not None and impl == "flash" and not causal and flash_ok):
         # tensor-parallel: run the kernel on each device's head shard
         from .flash_attention import flash_attention_tp
         return flash_attention_tp(
@@ -102,7 +105,7 @@ def attention(
                               mesh=ring_mesh, seq_axis=ring_axis,
                               dropout_rate=dropout_rate,
                               dropout_rng=dropout_rng)
-    if impl == "flash" and not causal and T % 128 == 0:
+    if impl == "flash" and not causal and flash_ok:
         try:
             from .flash_attention import flash_attention
         except ImportError:

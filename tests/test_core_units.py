@@ -135,3 +135,47 @@ def test_remat_matches_no_remat():
                    return_embeddings=True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mup_training_dynamics_coordinate_check():
+    """The defining µP property: after optimizer steps, activation scales
+    stay comparable across widths (with µP LR grouping) — and diverge with
+    width when µP grouping is disabled (force_lr)."""
+    from omnibiote_tpu.training.train import Trainer
+    from omnibiote_tpu.config import TrainConfig, EOS_TOKEN
+    from omnibiote_tpu.ops.segments import segment_ids_np
+
+    def run(width, force_lr):
+        rng = np.random.default_rng(0)
+
+        def batches():
+            while True:
+                toks = rng.integers(4, 60, size=(8, 32)).astype(np.int32)
+                toks[:, 15] = EOS_TOKEN
+                yield {"tokens": toks, "segments": segment_ids_np(toks)}
+
+        cfg = OmniBioTAConfig(
+            n_layer=2, n_head=4, n_embd=width, vocab_size=64, block_size=32,
+            dropout=0.0, attn_impl="xla", compute_dtype="float32",
+            mup_base_n_embd=16)
+        tc = TrainConfig(batch_size=8, mini_batch_size=1, ctx_len=32,
+                         lr=3e-2, token_budget=8 * 32 * 1000.0, seed=0,
+                         force_lr=force_lr)
+        tr = Trainer(cfg, tc, batch_iter=batches())
+        for _ in range(10):
+            tr.train_step_once()
+        idx = jnp.asarray(
+            np.random.default_rng(1).integers(4, 60, (4, 32)), jnp.int32)
+        emb = forward(tr.params, cfg, idx, return_embeddings=True)
+        # pre-LN residual-stream scale: use the wte update magnitude instead
+        # of post-LN embeddings (LN normalises scale away). Measure the
+        # hidden pre-readout activation via logits magnitude.
+        logits = forward(tr.params, cfg, idx)
+        return float(jnp.abs(logits).mean())
+
+    mup_ratio = run(128, False) / max(run(32, False), 1e-9)
+    sp_ratio = run(128, False if False else True) / max(run(32, True), 1e-9)
+    # µP keeps logit scale roughly width-invariant after training steps;
+    # plain AdamW (force_lr) lets it grow faster with width
+    assert mup_ratio < sp_ratio * 1.5
+    assert mup_ratio < 5.0
