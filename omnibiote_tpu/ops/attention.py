@@ -62,6 +62,21 @@ def xla_attention(
     return out
 
 
+def _fit_block(T: int, want: int) -> int:
+    """Largest multiple of 128 that divides T and is <= want.
+
+    The flash kernel requires T % block == 0 and Mosaic wants lane-multiple
+    blocks; for any T % 128 == 0 this terminates at >= 128. Fixes the
+    dispatch crash at T in {640, 768, 896, ...}: eval batches bucket to
+    multiples of 128 (evals/common.py), which are not all multiples of the
+    default 512/1024 block sizes.
+    """
+    b = (min(want, T) // 128) * 128
+    while T % b:
+        b -= 128
+    return b
+
+
 def attention(
     q, k, v, *,
     scale: float,
@@ -97,7 +112,7 @@ def attention(
             q, k, v, segment_ids=segment_ids, scale=scale, mesh=tp_mesh,
             model_axis=tp_axis, dropout_rate=dropout_rate,
             dropout_rng=dropout_rng,
-            block_q=min(block_q, T), block_kv=min(block_kv, T))
+            block_q=_fit_block(T, block_q), block_kv=_fit_block(T, block_kv))
     if impl == "ring":
         from .ring_attention import ring_attention
         assert ring_mesh is not None, "impl='ring' requires ring_mesh"
@@ -114,7 +129,8 @@ def attention(
             return flash_attention(
                 q, k, v, segment_ids=segment_ids, scale=scale,
                 dropout_rate=dropout_rate, dropout_rng=dropout_rng,
-                block_q=min(block_q, T), block_kv=min(block_kv, T))
+                block_q=_fit_block(T, block_q),
+                block_kv=_fit_block(T, block_kv))
     return xla_attention(
         q, k, v, scale=scale, segment_ids=segment_ids, causal=causal,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng)
