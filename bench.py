@@ -34,7 +34,8 @@ def main():
     model_cfg = obt.OmniBioTAConfig(
         n_layer=8, n_embd=1024, n_head=8, block_size=ctx,
         vocab_size=2 ** 16, dropout=0.1, attn_impl="flash",
-        compute_dtype="bfloat16")
+        compute_dtype="bfloat16",
+        fused_ce=os.environ.get("BENCH_FUSED_CE", "0") == "1")
     mini = int(os.environ.get("BENCH_MINI_BATCH", "8"))
     accum = int(os.environ.get("BENCH_ACCUM", "4"))
     batch = mini * accum * n_dev

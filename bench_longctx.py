@@ -1,0 +1,101 @@
+"""Long-context benchmark: omnibiote-small training throughput at ctx 4096.
+
+The reference caps context at block_size with O(B,H,T,T) additive masks
+(train_encoder.py:290-292) — at ctx 4096 that mask alone is 1.6 GB bf16 per
+micro-batch of 8. The Pallas flash kernel is O(T) in memory, so long-context
+training runs on one chip. Writes BENCH_LONGCTX.json.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_ctx(ctx: int, mini: int, accum: int):
+    import jax
+
+    import omnibiote_tpu as obt
+    from omnibiote_tpu.config import TrainConfig
+    from omnibiote_tpu.training.train import Trainer
+    from omnibiote_tpu.training.metrics import flops_per_token, mfu
+    from omnibiote_tpu.models.omnibiota import num_params
+    from omnibiote_tpu.ops.segments import segment_ids_np
+
+    n_dev = len(jax.devices())
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    model_cfg = obt.OmniBioTAConfig(
+        n_layer=8, n_embd=1024, n_head=8, block_size=ctx,
+        vocab_size=2 ** 16, dropout=0.1, attn_impl="flash",
+        compute_dtype="bfloat16")
+    batch = mini * accum * n_dev
+    train_cfg = TrainConfig(batch_size=batch, mini_batch_size=mini,
+                            ctx_len=ctx,
+                            token_budget=float(batch * ctx * 10000), seed=0)
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            toks = rng.integers(20, 65000, size=(batch, ctx)).astype(np.int32)
+            for r in range(batch):
+                toks[r, rng.integers(32, ctx, size=5)] = obt.EOS_TOKEN
+            yield {"tokens": toks, "segments": segment_ids_np(toks)}
+
+    trainer = Trainer(model_cfg, train_cfg, batch_iter=batches())
+    for _ in range(3):
+        m = trainer.train_step_once()
+    float(m["loss"])
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    t0 = time.time()
+    for _ in range(steps):
+        m = trainer.train_step_once()
+    float(m["loss"])
+    dt = time.time() - t0
+    tokens = steps * batch * ctx
+    fpt = flops_per_token(num_params(trainer.params, True),
+                          model_cfg.n_layer, model_cfg.n_embd, ctx)
+    return {
+        "ctx": ctx,
+        "tokens_per_sec_chip": round(tokens / dt / n_dev, 1),
+        "mfu": round(mfu(tokens / dt, fpt, n_dev, gen), 4),
+        "global_batch": batch,
+        "mini_batch": mini,
+    }
+
+
+CONFIGS = {2048: dict(mini=4, accum=4), 4096: dict(mini=2, accum=4)}
+
+
+def main():
+    import subprocess
+    import sys
+
+    if len(sys.argv) > 1:   # child: one context length per process
+        ctx = int(sys.argv[1])
+        print("ROW " + json.dumps(run_ctx(ctx, **CONFIGS[ctx])))
+        return
+
+    # one process per context length — two full-size trainers in one
+    # process OOM the 16 GB chip
+    rows = []
+    for ctx in sorted(CONFIGS):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(ctx)],
+            text=True, capture_output=True)
+        if out.returncode != 0:
+            raise RuntimeError(f"ctx={ctx} failed:\n{out.stderr[-2000:]}")
+        row = [l for l in out.stdout.splitlines() if l.startswith("ROW ")]
+        rows.append(json.loads(row[-1][4:]))
+    result = {
+        "metric": "omnibiote-small long-context MLM training (bf16, 1 chip)",
+        "rows": rows,
+    }
+    print(json.dumps(result))
+    with open(os.path.join(HERE, "BENCH_LONGCTX.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

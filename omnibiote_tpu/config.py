@@ -72,6 +72,15 @@ class OmniBioTAConfig:
     compute_dtype: str = "bfloat16"
     rope_theta: float = 10000.0
 
+    # MLM head cross-entropy: True = vocab-chunked fused CE with logits
+    # recompute in the backward (ops/fused_ce.py); False = plain log_softmax
+    # (XLA saves bf16 logits residuals). Semantics identical. Measured on a
+    # v5e at omnibiote-small/ctx1024: plain wins (68.6% vs 65.9% MFU) because
+    # masked-position compaction already keeps the logits small (N=B*T/4) and
+    # the fused backward recomputes them; flip to True for memory-tight
+    # configs (large caps, bigger vocab, long context without compaction).
+    fused_ce: bool = False
+
     # µP base widths (reference train_encoder.py:157-166). width_mult =
     # n_embd / mup_base_n_embd. Setting mup_base_n_embd == n_embd disables µP
     # scaling (width_mult == 1).
@@ -139,6 +148,10 @@ class TrainConfig:
     save_name: str = "omnibiota"
     save_dir: str = "checkpoints"
     force_lr: bool = False          # disable µP per-group LR scaling
+    # mup MuAdamW decoupled_wd: False (mup + reference default) scales
+    # matrix-like weight decay by width_mult so effective decay lr*wd is
+    # uniform; True leaves decay unscaled (shrinks with the µP-reduced LR).
+    mup_decoupled_wd: bool = False
     banned_token: Optional[int] = None
     warmup_period: float = 0.05     # fraction of iters for the batch ramp
     batch_ramp: bool = False

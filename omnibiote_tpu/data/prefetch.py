@@ -21,9 +21,15 @@ class DevicePrefetcher:
     depth=2 matches the reference's Queue(maxsize=2).
     """
 
-    def __init__(self, batch_iter: Iterator, sharding=None, depth: int = 2):
+    def __init__(self, batch_iter: Iterator, sharding=None, depth: int = 2,
+                 device_put: bool = True):
+        """device_put=False turns this into a pure threaded prefetcher for
+        iterators that place their items on device themselves (e.g. the
+        Trainer's staging stream, which device_puts once with the step's
+        NamedSharding)."""
         self._iter = batch_iter
         self._sharding = sharding
+        self._device_put = device_put
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._exc: Optional[BaseException] = None
@@ -31,6 +37,8 @@ class DevicePrefetcher:
         self._thread.start()
 
     def _put_device(self, batch):
+        if not self._device_put:
+            return batch
         if self._sharding is None:
             return jax.device_put(batch)
         return jax.device_put(batch, self._sharding)

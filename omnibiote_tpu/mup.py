@@ -22,9 +22,12 @@ parameter tree structure — every dimension proportional to n_embd is
 
 where width_mult = n_embd / mup_base_n_embd (1024/24 for the defaults). This
 matches mup.MuAdam's grouping exactly: params with two infinite dims get
-lr /= infshape.width_mult() (the fan-in multiplier); with MuAdamW
-(decoupled_wd) weight decay is left unscaled, so — as in torch AdamW — the
-effective decay of matrix-like params shrinks with their LR.
+lr /= infshape.width_mult() (the fan-in multiplier). mup's default
+(decoupled_wd=False) also multiplies those groups' weight_decay by
+width_mult, so the torch-AdamW effective decay lr*wd stays uniform across
+parameter classes; the reference calls MuAdamW without decoupled_wd, so
+that default is reproduced here via wd_mult_tree (TrainConfig.mup_decoupled_wd
+opts into the decoupled variant, where decay shrinks with the group LR).
 
 The remaining µP ingredients live elsewhere:
   * attention 1/d scale (8/n_embd): OmniBioTAConfig.attn_scale
@@ -66,6 +69,24 @@ def lr_mult_tree(params: Dict[str, Any], cfg: OmniBioTAConfig,
         if force_lr or not is_matrix_like(path):
             return 1.0
         return 1.0 / wm
+
+    return jax.tree_util.tree_map_with_path(mult, params)
+
+
+def wd_mult_tree(params: Dict[str, Any], cfg: OmniBioTAConfig,
+                 force_lr: bool = False, decoupled: bool = False):
+    """Per-leaf weight-decay multiplier pytree.
+
+    mup.MuAdam default (decoupled_wd=False): matrix-like groups get
+    weight_decay *= width_mult, cancelling their LR / width_mult so the
+    torch-AdamW effective decay lr*wd is uniform. decoupled=True leaves
+    decay unscaled (it then shrinks with the µP-reduced LR)."""
+    wm = cfg.width_mult
+
+    def mult(path, leaf):
+        if force_lr or decoupled or not is_matrix_like(path):
+            return 1.0
+        return wm
 
     return jax.tree_util.tree_map_with_path(mult, params)
 

@@ -511,9 +511,13 @@ def flash_attention_tp(q, k, v, *, segment_ids=None, scale,
         seed = jnp.int32(0)
 
     def body(q, k, v, seg, seed):
-        # fold the axis index so head shards draw independent dropout bits
+        # Fold the axis index so head shards draw independent dropout bits.
+        # Mix it in with a large odd multiplier: the kernel adds a per-tile
+        # counter to the seed, so a plain `seed + idx` would collide across
+        # shards (device i, tile u == device i+1, tile u-1).
         idx = jax.lax.axis_index(model_axis)
-        return _flash(q, k, v, seg, seg, seed + idx, scale, block_q,
+        mixed = seed ^ (idx * jnp.int32(-1640531527))  # 0x9E3779B9 as int32
+        return _flash(q, k, v, seg, seg, mixed, scale, block_q,
                       block_kv, float(dropout_rate))
 
     spec = P(None, None, model_axis, None)

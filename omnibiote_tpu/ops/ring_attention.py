@@ -27,10 +27,10 @@ NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _ring_body(q, k, v, q_seg, kv_seg, rng, *, scale, axis_name, ring_size,
-               dropout_rate):
+               dropout_rate, key_impl=None):
     """Per-device shard_map body. q,k,v: (B, Tl, H, D); segs: (B, Tl);
-    rng: (2,) uint32 key data (replicated), folded per (device, step) for
-    attention-probability dropout."""
+    rng: key data in its impl's native shape (replicated), folded per
+    (device, step) for attention-probability dropout."""
     N = ring_size
     B, Tl, H, D = q.shape
     my_idx = jax.lax.axis_index(axis_name)
@@ -56,7 +56,7 @@ def _ring_body(q, k, v, q_seg, kv_seg, rng, *, scale, axis_name, ring_size,
         p = jnp.exp(s - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
-            key = jax.random.wrap_key_data(rng)
+            key = jax.random.wrap_key_data(rng, impl=key_impl)
             key = jax.random.fold_in(jax.random.fold_in(key, my_idx), step)
             keep = jax.random.bernoulli(key, 1.0 - dropout_rate, p.shape)
             p_use = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
@@ -102,17 +102,21 @@ def ring_attention(
         raise ValueError("dropout_rate > 0 requires dropout_rng")
     if dropout_rng is None:
         key_data = jnp.zeros((2,), jnp.uint32)
+        key_impl = None
     else:
-        key_data = jax.random.key_data(dropout_rng).astype(jnp.uint32)
-        if key_data.shape != (2,):
-            key_data = jnp.resize(key_data, (2,))
+        # Pass the key's native data AND impl through shard_map; wrapping
+        # with the default impl would silently drop half the key material
+        # for 4-word impls like 'rbg' (the training default rng_impl).
+        key_data = jax.random.key_data(dropout_rng)
+        key_impl = jax.random.key_impl(dropout_rng)
 
     spec_qkv = P(None, seq_axis, None, None)
     spec_seg = P(None, seq_axis)
 
     body = functools.partial(_ring_body, scale=scale, axis_name=seq_axis,
                              ring_size=int(mesh.shape[seq_axis]),
-                             dropout_rate=float(dropout_rate))
+                             dropout_rate=float(dropout_rate),
+                             key_impl=key_impl)
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_seg, spec_seg, P()),

@@ -143,6 +143,19 @@ def restore_into_trainer(trainer, path: str) -> None:
     opt_flat = {k: v for k, v in opt_flat.items()}
     trainer.opt_state = _optstate_from_tree(trainer.opt_state, opt_flat)
 
+    # Re-apply the trainer's sharding layout: the arrays above landed on the
+    # default device fully replicated, which would silently demote an
+    # fsdp/tp run to replicated after resume.
+    specs = getattr(trainer, "_param_specs", None)
+    if specs is not None:
+        from jax.sharding import NamedSharding
+        from ..parallel.sharding import shard_opt_state_like
+        trainer.params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(trainer.mesh, s)),
+            trainer.params, specs)
+        trainer.opt_state = shard_opt_state_like(
+            trainer.opt_state, trainer.params, specs, trainer.mesh)
+
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     trainer.step = int(meta["step"])
@@ -153,8 +166,20 @@ def restore_into_trainer(trainer, path: str) -> None:
         trainer.rng = jax.random.wrap_key_data(jnp.asarray(rng), impl=impl)
     else:
         trainer.rng = jnp.asarray(rng)
-    trainer.reader_states = [
-        ReaderState.from_dict(d) for d in meta["reader_states"]]
+    restored = [ReaderState.from_dict(d) for d in meta["reader_states"]]
+    if len(trainer.reader_states) == len(restored):
+        # Mutate the live state objects in place: the data pipeline's readers
+        # hold references to these very objects, so (as long as no batch has
+        # been pulled yet) the stream resumes at the checkpointed position
+        # without rebuilding the pipeline.
+        for live, new in zip(trainer.reader_states, restored):
+            live.seed, live.epoch, live.chunk_idx = (
+                new.seed, new.epoch, new.chunk_idx)
+    else:
+        trainer.reader_states = restored
+    # invalidate any staged batches built for the pre-restore step counter
+    trainer._staged = None
+    trainer._grand = trainer._grand_seg = None
     trainer._last_ckpt_path = path
 
 

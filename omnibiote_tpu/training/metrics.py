@@ -2,8 +2,12 @@
 
 The reference logs to wandb from rank 0 (train_encoder.py:189-191 and ~10
 call sites) with hand-rolled time.time() spans. Here a pluggable sink writes
-JSONL (always) and mirrors to wandb when available; metric names follow the
-reference so dashboards line up.
+JSONL (always) and mirrors to wandb when available. Loop metrics carry the
+reference's throughput/efficiency semantics (tokens/sec, an MFU-style
+"efficiency", train_encoder.py:349-367); the reference's per-phase
+time.time() spans (mask/forward/backward/optimizer, train_encoder.py:288-323)
+have no per-step equivalent — one jit step has no host-visible phases — and
+are replaced by Trainer.profile()'s device traces.
 
 MFU uses the reference's analytic FLOPs/token formula
 `6N + 12 * L * d * T` (train_encoder.py:360) against the TPU generation's
@@ -37,6 +41,24 @@ def mfu(tokens_per_sec: float, fpt: float, n_chips: int = 1,
         generation: str = "default") -> float:
     peak = TPU_PEAK_FLOPS.get(generation, TPU_PEAK_FLOPS["default"])
     return tokens_per_sec * fpt / (peak * n_chips)
+
+
+def detect_generation() -> str:
+    """Map the runtime device kind to a TPU_PEAK_FLOPS key ('default' for
+    CPU/unknown, so MFU stays well-defined in tests)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    if "v6" in kind:
+        return "v6e"
+    if "v5p" in kind or ("v5" in kind and "lite" not in kind
+                         and "v5e" not in kind):
+        return "v5p"
+    if "v5" in kind:
+        return "v5e"
+    if "v4" in kind:
+        return "v4"
+    return "default"
 
 
 class JsonlSink:

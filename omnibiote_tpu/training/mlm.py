@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..config import EOS_TOKEN, MASK_TOKEN, PAD_TOKEN, OmniBioTAConfig
 from ..models.omnibiota import forward
+from ..ops.fused_ce import fused_cross_entropy, pick_chunks
 
 
 def make_mlm_mask(rng: jax.Array, tokens: jnp.ndarray,
@@ -68,6 +69,8 @@ def mlm_loss(
     capacity_frac: float = 0.25,
     ring_mesh=None,
     ring_axis: str = "data",
+    tp_mesh=None,
+    tp_axis: str = "model",
 ) -> Tuple[jnp.ndarray, dict]:
     """Masked-mean cross-entropy for one micro-batch.
 
@@ -82,19 +85,43 @@ def mlm_loss(
     emb = forward(params, cfg, masked_ids, segment_ids=segment_ids,
                   deterministic=deterministic, rng=rng_drop,
                   return_embeddings=True, ring_mesh=ring_mesh,
-                  ring_axis=ring_axis)
+                  ring_axis=ring_axis, tp_mesh=tp_mesh, tp_axis=tp_axis)
 
     if ring_mesh is not None:
-        # Sequence-parallel mode: the masked-position compaction argsorts
-        # over T, which would gather across sequence shards; use the dense
-        # CE instead (every op stays position-local and shards over T).
+        # Sequence-parallel mode: a global argsort over T would gather
+        # across sequence shards, so compact masked positions WITHIN each
+        # T/n_shards block instead. Reshaping T -> (shards, T_local) splits
+        # the sharded dimension cleanly (GSPMD keeps every blockwise op
+        # shard-local and inserts the dW/loss all-reduces itself), and each
+        # device evaluates the D x V head on ~15% of its local positions —
+        # sp keeps the compaction FLOP saving (round-1 VERDICT #5).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_shards = int(ring_mesh.shape[ring_axis])
+        B, T = tokens.shape
+        T_l = T // n_shards
+        cap = max(int(T_l * capacity_frac), 8)
+        blkspec = NamedSharding(ring_mesh, P(None, ring_axis, None))
+        tok_b = jax.lax.with_sharding_constraint(
+            tokens.reshape(B, n_shards, T_l), blkspec)
+        mask_b = mask.reshape(B, n_shards, T_l)
+        emb_b = emb.reshape(B, n_shards, T_l, emb.shape[-1])
+
+        order = jnp.argsort(~mask_b, axis=-1, stable=True)[..., :cap]
+        valid = jnp.take_along_axis(mask_b, order, axis=-1)
+        labels = jnp.take_along_axis(tok_b, order, axis=-1)
+        g_emb = jnp.take_along_axis(emb_b, order[..., None], axis=2)
+
         scale = jnp.asarray(cfg.mup_output_mult / cfg.width_mult, emb.dtype)
-        logits = ((emb * scale) @ params["lm_head"].astype(emb.dtype))
-        logits = logits.astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, tokens[..., None], -1)[..., 0]
-        nll = jnp.where(mask, nll, 0.0)
-        masked_count = jnp.sum(mask)
+        if cfg.fused_ce:
+            nll = fused_cross_entropy(g_emb * scale, params["lm_head"],
+                                      labels, pick_chunks(cfg.vocab_size))
+        else:
+            logits = (g_emb * scale) @ params["lm_head"].astype(g_emb.dtype)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        masked_count = jnp.sum(valid)
         loss = jnp.sum(nll) / jnp.maximum(masked_count, 1)
         return loss, {"masked_count": masked_count,
                       "num_tokens": jnp.sum(tokens != PAD_TOKEN)}
@@ -103,13 +130,18 @@ def mlm_loss(
     capacity = max(int(T * capacity_frac), 8)
     g_emb, labels, valid = _gather_masked(emb, tokens, mask, capacity)
 
-    # µP readout on the compacted positions only.
+    # µP readout on the compacted positions only. cfg.fused_ce selects the
+    # vocab-chunked fused CE (ops/fused_ce.py — never materialises (N, V)
+    # fp32 logits, recomputes them in the backward) vs. the plain
+    # log_softmax path (XLA saves the bf16 logits as residuals).
     scale = jnp.asarray(cfg.mup_output_mult / cfg.width_mult, dtype=g_emb.dtype)
-    logits = (g_emb * scale) @ params["lm_head"].astype(g_emb.dtype)
-
-    logits = logits.astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if cfg.fused_ce:
+        nll = fused_cross_entropy((g_emb * scale), params["lm_head"],
+                                  labels, pick_chunks(cfg.vocab_size))
+    else:
+        logits = (g_emb * scale) @ params["lm_head"].astype(g_emb.dtype)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
 
     masked_count = jnp.sum(valid)

@@ -4,8 +4,10 @@ Reproduces the reference optimizer semantics (train_encoder.py:193-201,316-318):
   * base LR = lr * sqrt(global_batch_size) / 32
   * mup.MuAdamW: matrix-like params get LR / width_mult (see omnibiote_tpu.mup);
     --force_lr uses plain AdamW (uniform LR)
-  * torch AdamW decoupled weight decay on *all* params (the reference passes
-    model.parameters() as a single group), wd scaled by the per-group LR
+  * weight decay follows mup's default decoupled_wd=False: matrix-like
+    groups also get wd * width_mult, so after the per-group LR the torch-AdamW
+    effective decay lr*wd is uniform across parameter classes
+    (TrainConfig.mup_decoupled_wd=True switches to mup's decoupled variant)
   * LinearLR 1.0 -> 0.0 over total_iters: factor(i) = max(0, 1 - i/total)
   * global grad-norm clip 1.0 before the step
 
@@ -23,7 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import OmniBioTAConfig, TrainConfig
-from ..mup import lr_mult_tree
+from ..mup import lr_mult_tree, wd_mult_tree
 
 
 def scaled_lr(train_cfg: TrainConfig) -> float:
@@ -56,20 +58,42 @@ def _scale_by_mup_lr(schedule: Callable, mult_tree) -> optax.GradientTransformat
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _add_mup_decayed_weights(weight_decay: float,
+                             wd_mults) -> optax.GradientTransformation:
+    """updates += wd * wd_mult_leaf * p — per-leaf decay so matrix-like
+    params regain mup's wd*width_mult (see mup.wd_mult_tree)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("weight decay requires params")
+        updates = jax.tree.map(
+            lambda u, p, m: u + weight_decay * m * p.astype(u.dtype),
+            updates, params, wd_mults)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     params,
     model_cfg: OmniBioTAConfig,
     train_cfg: TrainConfig,
     total_iters: int,
 ) -> optax.GradientTransformation:
-    """clip(1.0) -> Adam moments -> +wd*p -> per-leaf -lr(t)*mult."""
+    """clip(1.0) -> Adam moments -> +wd*wd_mult*p -> per-leaf -lr(t)*mult."""
     base_lr = scaled_lr(train_cfg)
     mults = lr_mult_tree(params, model_cfg, force_lr=train_cfg.force_lr)
+    wd_mults = wd_mult_tree(params, model_cfg, force_lr=train_cfg.force_lr,
+                            decoupled=train_cfg.mup_decoupled_wd)
     return optax.chain(
         optax.clip_by_global_norm(train_cfg.grad_clip),
         optax.scale_by_adam(
             b1=train_cfg.beta1, b2=train_cfg.beta2, eps=train_cfg.epsilon),
-        optax.add_decayed_weights(train_cfg.weight_decay),
+        _add_mup_decayed_weights(train_cfg.weight_decay, wd_mults),
         _scale_by_mup_lr(linear_decay(base_lr, total_iters), mults),
     )
 

@@ -35,7 +35,7 @@ from .optim import make_optimizer, scaled_lr, linear_decay
 # --------------------------------------------------------------------------
 
 def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
-                    optimizer, ring_mesh=None):
+                    optimizer, ring_mesh=None, tp_mesh=None):
     """Build the jitted train step.
 
     Signature of the returned fn:
@@ -52,37 +52,67 @@ def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
                             mask_prob=train_cfg.mask_prob,
                             deterministic=model_cfg.dropout == 0.0,
                             ring_mesh=ring_mesh,
-                            ring_axis=train_cfg.dp_axis)
+                            ring_axis=train_cfg.dp_axis,
+                            tp_mesh=tp_mesh)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return loss, aux, grads
+
+    cdt = model_cfg.cdtype()
+
+    def compute_copy(params):
+        """bf16 compute copy of the >=2D weights, cast ONCE per step.
+
+        Inside the accumulation scan the fp32->bf16 cast would re-read the
+        fp32 master weights every micro-step (XLA does not hoist the large
+        converts out of the loop body); casting before the scan halves the
+        per-micro weight traffic. Gradients flow to the bf16 copy and are
+        accumulated in fp32 — the master stays fp32 for the optimizer.
+        """
+        if jnp.dtype(cdt) == jnp.dtype(model_cfg.pdtype()):
+            return params
+        return jax.tree.map(
+            lambda p: p.astype(cdt) if p.ndim >= 2 else p, params)
 
     def train_step(params, opt_state, tokens, segments, micro_weights, rng,
                    step):
         A = tokens.shape[0]
         rngs = jax.vmap(lambda i: jax.random.fold_in(
             jax.random.fold_in(rng, step), i))(jnp.arange(A))
+        params_c = compute_copy(params)
 
-        zero_grads = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        if A == 1:
+            # no accumulation: skip the scan and its full-size fp32 grad
+            # carry (one read+write of the whole grad tree per micro)
+            w = micro_weights[0]
+            loss, aux, grads = micro_grad(
+                params_c, tokens[0], segments[0], rngs[0])
+            grads = jax.tree.map(lambda g: w * g.astype(jnp.float32), grads)
+            loss_sum = w * loss
+            masked = w * aux["masked_count"]
+            tokens_seen = (w > 0) * aux["num_tokens"]
+        else:
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
 
-        def body(carry, xs):
-            acc_grads, acc_loss, acc_masked, acc_tok = carry
-            t, s, w, r = xs
-            loss, aux, grads = micro_grad(params, t, s, r)
-            acc_grads = jax.tree.map(
-                lambda a, g: a + w * g.astype(jnp.float32), acc_grads, grads)
-            return (
-                acc_grads,
-                acc_loss + w * loss,
-                acc_masked + w * aux["masked_count"],
-                acc_tok + (w > 0) * aux["num_tokens"],
-            ), None
+            def body(carry, xs):
+                acc_grads, acc_loss, acc_masked, acc_tok = carry
+                t, s, w, r = xs
+                loss, aux, grads = micro_grad(params_c, t, s, r)
+                acc_grads = jax.tree.map(
+                    lambda a, g: a + w * g.astype(jnp.float32),
+                    acc_grads, grads)
+                return (
+                    acc_grads,
+                    acc_loss + w * loss,
+                    acc_masked + w * aux["masked_count"],
+                    acc_tok + (w > 0) * aux["num_tokens"],
+                ), None
 
-        (grads, loss_sum, masked, tokens_seen), _ = jax.lax.scan(
-            body,
-            (zero_grads, jnp.float32(0), jnp.float32(0), jnp.int32(0)),
-            (tokens, segments, micro_weights, rngs),
-        )
+            (grads, loss_sum, masked, tokens_seen), _ = jax.lax.scan(
+                body,
+                (zero_grads, jnp.float32(0), jnp.float32(0), jnp.int32(0)),
+                (tokens, segments, micro_weights, rngs),
+            )
         n_active = jnp.maximum(jnp.sum(micro_weights), 1.0)
         grads = jax.tree.map(lambda g: g / n_active, grads)
         mean_loss = loss_sum / n_active
@@ -151,24 +181,39 @@ class Trainer:
 
     def __init__(self, model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
                  batch_iter=None, reader_states=None, mesh=None,
-                 metrics_sink=None, init_rng: Optional[jax.Array] = None):
+                 metrics_sink=None, init_rng: Optional[jax.Array] = None,
+                 prefetch: int = 0):
         from ..models.omnibiota import init_params
 
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
-        self.mesh = mesh or make_mesh()
-        self.n_dev = int(np.prod([d for d in self.mesh.devices.shape]))
-
         tc = train_cfg
+        if mesh is not None:
+            self.mesh = mesh
+        elif tc.mesh_shape is not None:
+            names = ("data", "model")[:len(tc.mesh_shape)]
+            self.mesh = make_mesh(tuple(tc.mesh_shape), axis_names=names)
+        elif "tp" in tc.sharding:
+            # tp with no explicit shape: whole mesh on the model axis
+            import jax as _jax
+            self.mesh = make_mesh((1, len(_jax.devices())),
+                                  axis_names=("data", "model"))
+        else:
+            self.mesh = make_mesh()
+        self.n_dev = int(np.prod([d for d in self.mesh.devices.shape]))
+        mesh_axes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        self.n_data = mesh_axes.get("data", 1)
+
         # mini_batch_size is per-device (the reference's per-process micro
-        # batch); one accumulation slot processes mini * n_devices rows.
-        # In sp mode the sequence (not the batch) shards over devices, so
-        # the micro batch is global as given.
+        # batch); one accumulation slot processes mini * n_data rows, where
+        # n_data is the DATA-parallel degree (model-axis devices split each
+        # row's compute, not the batch). In sp mode the sequence (not the
+        # batch) shards over devices, so the micro batch is global as given.
         self.global_micro = (tc.mini_batch_size if tc.sharding == "sp"
-                             else tc.mini_batch_size * self.n_dev)
+                             else tc.mini_batch_size * self.n_data)
         assert tc.batch_size % self.global_micro == 0, (
             f"batch_size {tc.batch_size} must divide by mini_batch_size *"
-            f" n_devices = {self.global_micro}")
+            f" n_data = {self.global_micro}")
         self.accum_slots = tc.batch_size // self.global_micro
         self.total_iters = int(
             tc.token_budget / (tc.batch_size * tc.ctx_len))
@@ -183,6 +228,7 @@ class Trainer:
             self.params, model_cfg, tc, self.total_iters)
         self.opt_state = self.optimizer.init(self.params)
 
+        self._param_specs = None
         if tc.sharding != "replicated":
             # FSDP/TP: annotate params + optimizer state; XLA inserts the
             # gathers/reductions (see parallel/sharding.py)
@@ -197,6 +243,8 @@ class Trainer:
         self.batch_iter = batch_iter
         self.reader_states = reader_states or []
         self.metrics_sink = metrics_sink
+        self.prefetch = prefetch
+        self._staged = None      # lazily-built staged step-input stream
         self._grand: Optional[np.ndarray] = None      # leftover rows (tokens)
         self._grand_seg: Optional[np.ndarray] = None
 
@@ -204,8 +252,15 @@ class Trainer:
                                   or model_cfg.attn_impl == "ring") else None
         if ring_mesh is not None and model_cfg.attn_impl != "ring":
             raise ValueError("sharding='sp' requires attn_impl='ring'")
+        # tensor parallelism: thread the mesh into the forward so attention
+        # runs the head-sharded flash kernel on each device's local heads
+        # (round-1 ADVICE: 'tp' silently degraded to replicated attention)
+        tp_mesh = (self.mesh if ("tp" in tc.sharding
+                                 and mesh_axes.get("model", 1) > 1
+                                 and model_cfg.n_head % mesh_axes["model"] == 0)
+                   else None)
         step_fn = make_train_step(model_cfg, tc, self.optimizer,
-                                  ring_mesh=ring_mesh)
+                                  ring_mesh=ring_mesh, tp_mesh=tp_mesh)
         self._train_step = jax.jit(step_fn, donate_argnums=(0, 1))
         self._eval_step = jax.jit(make_eval_step(model_cfg, tc))
 
@@ -213,14 +268,16 @@ class Trainer:
 
     def _next_rows(self, n: int) -> Tuple[np.ndarray, np.ndarray]:
         """Pull n rows (tokens, segments) from the stream, buffering like the
-        reference's grand_batch (train_encoder.py:258-268)."""
+        reference's grand_batch (train_encoder.py:258-268). Host-side only:
+        batch_iter must yield numpy arrays (placement happens once per staged
+        step in _stage)."""
         toks = [] if self._grand is None else [self._grand]
         segs = [] if self._grand_seg is None else [self._grand_seg]
         have = 0 if self._grand is None else len(self._grand)
         while have < n:
             b = next(self.batch_iter)
-            toks.append(b["tokens"])
-            segs.append(b["segments"])
+            toks.append(np.asarray(b["tokens"]))
+            segs.append(np.asarray(b["segments"]))
             have += len(b["tokens"])
         toks = np.concatenate(toks) if len(toks) > 1 else toks[0]
         segs = np.concatenate(segs) if len(segs) > 1 else segs[0]
@@ -228,7 +285,10 @@ class Trainer:
         return toks[:n], segs[:n]
 
     def _stage(self, eff_bs: int):
-        """Shape one step's input: (A, global_micro, T) with activity weights."""
+        """Shape one step's input: (A, global_micro, T) with activity
+        weights, then place it on the mesh with ONE device_put carrying the
+        step's NamedSharding (no device arrays ever flow through
+        _next_rows)."""
         A = self.accum_slots
         micro = self.global_micro
         active = eff_bs // micro
@@ -249,12 +309,35 @@ class Trainer:
         batch = shard_batch_pytree(self.mesh, batch, batch_dim=bdim)
         return batch, jnp.asarray(weights)
 
+    def _staged_stream(self):
+        """Generator of fully staged (device-resident, sharded) step inputs.
+
+        Tracks the step count in lockstep with train_step_once so the batch
+        ramp is computed for the step that will consume each batch — this is
+        what lets the whole stage (row accumulation, (A, micro, T) assembly,
+        sharded device_put) run ahead in the prefetch thread.
+        """
+        step = self.step
+        while True:
+            eff = effective_batch_size(step, self.total_iters,
+                                       self.train_cfg, self.global_micro)
+            yield self._stage(eff)
+            step += 1
+
+    def _staged_iter(self):
+        if self._staged is None:
+            stream = self._staged_stream()
+            if self.prefetch > 0:
+                from ..data.prefetch import DevicePrefetcher
+                stream = DevicePrefetcher(stream, depth=self.prefetch,
+                                          device_put=False)
+            self._staged = stream
+        return self._staged
+
     # -- main loop ---------------------------------------------------------
 
     def train_step_once(self):
-        eff = effective_batch_size(self.step, self.total_iters,
-                                   self.train_cfg, self.global_micro)
-        batch, weights = self._stage(eff)
+        batch, weights = next(self._staged_iter())
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, batch["tokens"], batch["segments"],
             weights, self.rng, jnp.int32(self.step))
@@ -277,9 +360,19 @@ class Trainer:
             val_iters: Optional[dict] = None):
         """Main loop. val_iters: {corpus_name: batch_iterator} probed every
         test_freq tokens (train_encoder.py:371-410)."""
+        from ..models.omnibiota import num_params
+        from .metrics import flops_per_token, mfu, detect_generation
+
         tc = self.train_cfg
         base_lr = scaled_lr(tc)
         sched = linear_decay(base_lr, self.total_iters)
+        # analytic FLOPs/token + MFU per log step, the reference's in-loop
+        # "A100 efficiency" telemetry (train_encoder.py:358-367) against the
+        # actual TPU generation's peak
+        fpt = flops_per_token(num_params(self.params, non_embedding=True),
+                              self.model_cfg.n_layer, self.model_cfg.n_embd,
+                              tc.ctx_len)
+        generation = detect_generation()
         last_save = self.trained_tokens
         last_test = self.trained_tokens
         end_step = self.total_iters if max_steps is None else min(
@@ -304,12 +397,18 @@ class Trainer:
                 self.trained_tokens = tok_base + int(tok_dev)
                 now = time.time()
                 dtok = self.trained_tokens - last_fetch_tok
+                tps = dtok / max(now - last_fetch_t, 1e-9)
+                eff = mfu(tps, fpt, n_chips=self.n_dev,
+                          generation=generation)
                 rec = {
                     "step": step_idx,
                     "loss": loss,
                     "lr": float(sched(step_idx)),
                     "tokens": self.trained_tokens,
-                    "tokens_per_sec": dtok / max(now - last_fetch_t, 1e-9),
+                    "tokens_per_sec": tps,
+                    "flops_per_token": fpt,
+                    "mfu": eff,
+                    "efficiency": eff,   # the reference's wandb key
                     "step_time_s": now - t0,
                     "grad_norm": float(metrics["grad_norm"]),
                 }

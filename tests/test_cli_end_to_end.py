@@ -66,3 +66,61 @@ def test_cli_train_and_resume(corpus_dir, tmp_path):
     # resume from latest and continue
     trainer2 = main(argv + ["--resume_from", "-1", "--max_steps", "2"])
     assert trainer2.step >= trainer.step
+
+
+def test_cli_fsdp_sharded_train_and_resume(corpus_dir, tmp_path):
+    """--FSDP (reference train_encoder.py:464) from the CLI: 2 sharded steps
+    on the 8-device mesh, checkpoint, resume under sharding (VERDICT #3)."""
+    from omnibiote_tpu.training.cli import main
+
+    metrics_path = str(tmp_path / "metrics_fsdp.jsonl")
+    argv = [
+        "--base_dir", corpus_dir, "--train_type", "mixed",
+        "--banned_token", "65533",
+        "--batch_size", "16", "--mini_batch_size", "1",
+        "--n_layer", "1", "--n_head", "2", "--n_embd", "32",
+        "--ctx_len", "64", "--dropout", "0.0",
+        "--token_budget", str(16 * 64 * 40.0),
+        "--test_freq", str(16 * 64 * 1000.0),
+        "--save_freq", str(16 * 64 * 1000.0),
+        "--save_dir", str(tmp_path / "ckpt_fsdp"), "--save_name", "f",
+        "--max_steps", "2", "--log_every", "1",
+        "--metrics_jsonl", metrics_path,
+        "--disable_flash", "--FSDP",
+    ]
+    trainer = main(argv)
+    assert trainer.train_cfg.sharding == "fsdp"
+    # params actually sharded over data
+    assert not trainer.params["wte"].sharding.is_fully_replicated
+    recs = [json.loads(l) for l in open(metrics_path)]
+    losses = [r["loss"] for r in recs if "loss" in r]
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+    # in-loop MFU telemetry present (VERDICT #6)
+    assert all("mfu" in r and "efficiency" in r and "flops_per_token" in r
+               for r in recs if "loss" in r)
+
+    trainer2 = main(argv + ["--resume_from", "-1", "--max_steps", "2"])
+    assert trainer2.step == trainer.step + 2
+    assert not trainer2.params["wte"].sharding.is_fully_replicated
+
+
+def test_cli_sharding_flag_tp(corpus_dir, tmp_path):
+    """--sharding tp --mesh_shape 2 4 reaches TP training from the CLI."""
+    from omnibiote_tpu.training.cli import main
+
+    argv = [
+        "--base_dir", corpus_dir, "--train_type", "mixed",
+        "--banned_token", "65533",
+        "--batch_size", "4", "--mini_batch_size", "2",
+        "--n_layer", "1", "--n_head", "4", "--n_embd", "32",
+        "--ctx_len", "64", "--dropout", "0.0",
+        "--token_budget", str(4 * 64 * 40.0),
+        "--save_dir", str(tmp_path / "ckpt_tp"), "--save_name", "tp",
+        "--max_steps", "1", "--log_every", "1",
+        "--disable_flash", "--sharding", "tp", "--mesh_shape", "2", "4",
+    ]
+    trainer = main(argv)
+    assert dict(zip(trainer.mesh.axis_names,
+                    trainer.mesh.devices.shape)) == {"data": 2, "model": 4}
+    assert "model" in str(
+        trainer.params["blocks"]["attn"]["wqkv"].sharding.spec)

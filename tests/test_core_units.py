@@ -179,3 +179,66 @@ def test_mup_training_dynamics_coordinate_check():
     # plain AdamW (force_lr) lets it grow faster with width
     assert mup_ratio < sp_ratio * 1.5
     assert mup_ratio < 5.0
+
+
+def test_mup_weight_decay_effective_rate_uniform():
+    """mup MuAdamW default (decoupled_wd=False): matrix-like groups get
+    wd * width_mult alongside lr / width_mult, so the effective decay
+    lr*wd is the same for every parameter class. With zero gradients the
+    update is pure decay: u == -lr * wd * p on EVERY leaf."""
+    cfg = OmniBioTAConfig(n_layer=1, n_head=2, n_embd=16, vocab_size=32,
+                          block_size=16, mup_base_n_embd=8)  # width_mult = 2
+    tc = TrainConfig(batch_size=1024, lr=1e-2, weight_decay=0.1)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(params, cfg, tc, total_iters=10)
+    state = opt.init(params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = opt.update(zeros, state, params)
+    lr = scaled_lr(tc)
+    for u, p in zip(jax.tree.leaves(updates), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(u),
+                                   -lr * 0.1 * np.asarray(p),
+                                   rtol=1e-5, atol=1e-8)
+
+    # decoupled variant: matrix-like decay shrinks by 1/width_mult
+    tc_d = tc.replace(mup_decoupled_wd=True)
+    opt_d = make_optimizer(params, cfg, tc_d, total_iters=10)
+    upd_d, _ = opt_d.update(zeros, opt_d.init(params), params)
+    wqkv = np.asarray(params["blocks"]["attn"]["wqkv"])
+    np.testing.assert_allclose(np.asarray(upd_d["blocks"]["attn"]["wqkv"]),
+                               -lr * 0.1 * wqkv / 2.0, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(upd_d["wte"]),
+                               -lr * 0.1 * np.asarray(params["wte"]),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_fused_cross_entropy_matches_dense():
+    """Chunked online-softmax CE == dense log_softmax CE in value AND in
+    gradients (dx and dW through the custom VJP)."""
+    from omnibiote_tpu.ops.fused_ce import fused_cross_entropy
+
+    rng = np.random.default_rng(0)
+    N, D, V = 24, 16, 64
+    x = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((D, V)) * 0.3, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, N), jnp.int32)
+    g = jnp.asarray(rng.standard_normal(N), jnp.float32)  # row weights
+
+    def dense(x, W):
+        logp = jax.nn.log_softmax((x @ W).astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
+        return jnp.sum(nll * g)
+
+    for n_chunks in (1, 4, 8):
+        def fused(x, W):
+            return jnp.sum(
+                fused_cross_entropy(x, W, labels, n_chunks) * g)
+
+        np.testing.assert_allclose(float(fused(x, W)), float(dense(x, W)),
+                                   rtol=1e-5)
+        gf = jax.grad(fused, argnums=(0, 1))(x, W)
+        gd = jax.grad(dense, argnums=(0, 1))(x, W)
+        for a, b, name in zip(gf, gd, ("dx", "dW")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-5,
+                                       err_msg=f"{name} n_chunks={n_chunks}")

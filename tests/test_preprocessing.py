@@ -10,7 +10,8 @@ import pytest
 from omnibiote_tpu.config import EOS_TOKEN
 from omnibiote_tpu.preprocessing.genbank import (
     parse_genbank_records, process_seq_gz)
-from omnibiote_tpu.preprocessing.uniprot import process_chunk, shard_text, main as uniprot_main
+from omnibiote_tpu.preprocessing.uniprot import (
+    iter_sequences, tagged_shard, main as uniprot_main)
 from omnibiote_tpu.preprocessing.download import download_seq_files
 from omnibiote_tpu.preprocessing.tokenize_corpus import tokenize_to_shards
 from omnibiote_tpu.tokenizer import load_reference
@@ -60,22 +61,20 @@ def test_genbank_process_file(tmp_path):
 
 def test_uniprot_chunking(tmp_path):
     fasta = ">A0A1 header one\nMKVL\nAAGI\n>A0A2 header two\nWQRS\n"
-    seqs, residual = process_chunk(fasta, "")
-    assert seqs == ["MKVLAAGI"]
-    assert residual.startswith("A0A2")
-    # faithful reference semantics: a residual without '>' yields nothing
-    # (the reference drops the corpus's final record this way; our main()
-    # flushes it explicitly)
-    seqs2, _ = process_chunk("", residual)
-    assert seqs2 == []
-    assert shard_text(["AB", "CD"]) == "<protein>AB<EOS><protein>CD<EOS>"
+    # incremental parsing is invariant to chunk boundaries, and — unlike the
+    # reference (preprocess_uniprot.py:69) — the final record is not dropped
+    for size in (1, 3, 7, 16, 1000):
+        chunks = [fasta[i:i + size] for i in range(0, len(fasta), size)]
+        assert list(iter_sequences(chunks)) == ["MKVLAAGI", "WQRS"]
+    assert tagged_shard(["AB", "CD"]) == "<protein>AB<EOS><protein>CD<EOS>"
 
     # end-to-end over a file
     src = tmp_path / "uniref100.fasta.gz"
     with gzip.open(src, "wt") as f:
         f.write(fasta)
-    uniprot_main(str(src), str(tmp_path / "out"), chunk_size=16)
+    n = uniprot_main(str(src), str(tmp_path / "out"), chunk_size=16)
     shards = sorted(os.listdir(tmp_path / "out"))
+    assert len(shards) == n >= 1
     text = ""
     for s in shards:
         with gzip.open(tmp_path / "out" / s, "rt") as f:
@@ -127,7 +126,7 @@ def test_downloader_mirror_resume_retry(tmp_path, monkeypatch):
     assert got == ["b.seq.gz"]
     assert (tmp_path / "d" / "b.seq.gz").read_bytes() == b"BBBB"
     assert not (tmp_path / "d" / "c.txt").exists()  # filtered by format
-    assert any("already been completely downloaded" in l for l in logs)
+    assert any("local copy already complete" in l for l in logs)
     assert any("retrying" in l for l in logs)
 
 

