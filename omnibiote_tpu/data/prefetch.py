@@ -58,7 +58,15 @@ class DevicePrefetcher:
         except BaseException as e:  # surfaced on next __next__
             self._exc = e
         finally:
-            self._q.put(None)
+            # Sentinel put must respect _stop too: a plain blocking put on a
+            # full queue with no consumer left would pin this thread forever
+            # (and an abandoned thread aborts interpreter shutdown).
+            while not self._stop.is_set():
+                try:
+                    self._q.put(None, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         return self
@@ -71,10 +79,20 @@ class DevicePrefetcher:
             raise StopIteration
         return item
 
-    def close(self):
+    def close(self, join_timeout: float = 5.0):
+        """Stop the worker, drain the queue, and join the thread. Idempotent;
+        every owner (Trainer.close, tests) must call this — the worker spins
+        on the bounded queue otherwise."""
         self._stop.set()
         try:
             while True:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        self._thread.join(timeout=join_timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import OmniBioTAConfig
 from ..ops.attention import attention
-from .rope import rope_tables, apply_rope_half, deinterleave_perm
+from .rope import rope_tables, deinterleave_perm
 
 
 # --------------------------------------------------------------------------
@@ -174,11 +174,13 @@ def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
     q = q.reshape(B, T, H, Dh)
     k = k.reshape(B, T, H, Dh)
     v = v.reshape(B, T, H, Dh)
-    q, k = apply_rope_half(q, k, cos, sin)
 
     attn_rng = None
     if not deterministic and cfg.dropout > 0.0:
         attn_rng = rngs["attn"]
+    # RoPE is owned by the attention dispatch: fused into the flash kernels
+    # (rotation recomputed in fwd+bwd, never written to HBM) or applied as
+    # apply_rope_half for the fallback paths.
     y = attention(
         q, k, v,
         scale=cfg.attn_scale,
@@ -187,6 +189,7 @@ def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
         dropout_rate=0.0 if deterministic else cfg.dropout,
         dropout_rng=attn_rng,
         impl=cfg.attn_impl,
+        rope=(cos, sin),
         ring_mesh=ring_mesh,
         ring_axis=ring_axis,
         tp_mesh=tp_mesh,

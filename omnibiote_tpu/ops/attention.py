@@ -87,6 +87,7 @@ def attention(
     impl: str = "flash",
     block_q: int = 512,
     block_kv: int = 1024,
+    rope=None,
     ring_mesh=None,
     ring_axis: str = "data",
     tp_mesh=None,
@@ -99,19 +100,29 @@ def attention(
     only profitable on TPU; anything else falls back to XLA. impl='ring'
     shards the sequence over `ring_axis` of `ring_mesh` and rotates KV
     blocks around the ICI ring (long-context; see ops/ring_attention.py).
+
+    rope=(cos, sin) tables (T, head_dim/2): callers pass q/k PRE-rotation
+    and the dispatch owns RoPE — fused into the flash kernels (the rotation
+    is recomputed in fwd and bwd, never touching HBM) or applied here for
+    the fallback paths.
     """
     T = q.shape[1]
     H, D = q.shape[2], q.shape[3]
     # Mosaic tiles the last two dims of each block: head_dim must be a lane
     # multiple (or the whole feature dim when H == 1) for the flash path
     flash_ok = (T % 128 == 0) and (D % 128 == 0 or H == 1)
-    if (tp_mesh is not None and impl == "flash" and not causal and flash_ok):
+    take_flash = impl == "flash" and not causal and flash_ok
+    if rope is not None and not take_flash:
+        from ..models.rope import apply_rope_half
+        q, k = apply_rope_half(q, k, rope[0], rope[1])
+        rope = None
+    if tp_mesh is not None and take_flash:
         # tensor-parallel: run the kernel on each device's head shard
         from .flash_attention import flash_attention_tp
         return flash_attention_tp(
             q, k, v, segment_ids=segment_ids, scale=scale, mesh=tp_mesh,
             model_axis=tp_axis, dropout_rate=dropout_rate,
-            dropout_rng=dropout_rng,
+            dropout_rng=dropout_rng, rope=rope,
             block_q=_fit_block(T, block_q), block_kv=_fit_block(T, block_kv))
     if impl == "ring":
         from .ring_attention import ring_attention
@@ -120,7 +131,7 @@ def attention(
                               mesh=ring_mesh, seq_axis=ring_axis,
                               dropout_rate=dropout_rate,
                               dropout_rng=dropout_rng)
-    if impl == "flash" and not causal and flash_ok:
+    if take_flash:
         try:
             from .flash_attention import flash_attention
         except ImportError:
@@ -129,8 +140,12 @@ def attention(
             return flash_attention(
                 q, k, v, segment_ids=segment_ids, scale=scale,
                 dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+                rope=rope,
                 block_q=_fit_block(T, block_q),
                 block_kv=_fit_block(T, block_kv))
+        if rope is not None:
+            from ..models.rope import apply_rope_half
+            q, k = apply_rope_half(q, k, rope[0], rope[1])
     return xla_attention(
         q, k, v, scale=scale, segment_ids=segment_ids, causal=causal,
         dropout_rate=dropout_rate, dropout_rng=dropout_rng)

@@ -33,6 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+# Mosaic's default scoped-vmem cap is 16 MB; the multi-head kernels use
+# (block, H*D) tiles and profit from larger blocks, so raise it (v5e/v5p
+# have 128 MB of VMEM per core).
+VMEM_LIMIT = 100 * 1024 * 1024
 
 
 import contextlib
@@ -424,6 +428,516 @@ def _dq_call(dq_kernel, B, H, Tq, Tk, D, block_q, block_kv,
 
 
 # ---------------------------------------------------------------------------
+# Multi-head-block kernels
+# ---------------------------------------------------------------------------
+#
+# The per-head grid above loads (block, D) tiles out of a (B, T, H*D) array:
+# each DMA row touches D*2 bytes of every H*D*2 — for H=8, 1/8 of the
+# fetched stride is useful, and the measured forward tops out at ~40% MFU.
+# These kernels instead block over FULL rows (block, H*D) — perfectly
+# contiguous DMA — and loop the heads inside the kernel over static feature
+# slices. Softmax state is (block_q, H) in one scratch. RoPE (rotate-half
+# over contiguous halves, fp32, matching models/rope.py:apply_rope_half) can
+# be fused: the kernel consumes pre-rotation q/k — which is also what the
+# custom VJP saves, so the rotation is never materialised in HBM.
+
+
+def _rope_rot(x, cosf, sinf, half):
+    """rotate-half in fp32: [x1, x2] -> [x1 c - x2 s, x1 s + x2 c], written
+    as x * [c|c] + [-x2, x1] * [s|s] (cosf/sinf are full-width tables)."""
+    xf = x.astype(jnp.float32)
+    swapped = jnp.concatenate([-xf[:, half:], xf[:, :half]], axis=1)
+    return xf * cosf + swapped * sinf
+
+
+def _rope_rot_inv(x, cosf, sinf, half):
+    """Inverse rotation (transpose): rotate by -angle."""
+    xf = x.astype(jnp.float32)
+    swapped = jnp.concatenate([xf[:, half:], -xf[:, :half]], axis=1)
+    return xf * cosf + swapped * sinf
+
+
+LOG2E = 1.4426950408889634
+
+
+def _mh_scores(qrows, krows, h, D, half, mask_bias, scale,
+               qcos_ref, qsin_ref, kcos_ref, ksin_ref, use_rope):
+    """One head's masked scores in log2 space: s2 = (q·kᵀ)·(scale·log2e) +
+    bias, a single FMA per element (replaces the old mul + where). exp2 of
+    log2-space scores equals exp of the natural-space ones, and exp2 is the
+    VPU's native transcendental (exp lowers to exp2 + a multiply)."""
+    sl = slice(h * D, (h + 1) * D)
+    q = qrows[:, sl]
+    k = krows[:, sl]
+    dtype = qrows.dtype
+    if use_rope:
+        q = _rope_rot(q, qcos_ref[...], qsin_ref[...], half).astype(dtype)
+        k = _rope_rot(k, kcos_ref[...], ksin_ref[...], half).astype(dtype)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (block_q, block_kv)
+    return s * (scale * LOG2E) + mask_bias
+
+
+def _mh_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+                   *rest, scale, n_head, use_rope, dropout_rate, single_kv):
+    if use_rope:
+        qcos_ref, qsin_ref, kcos_ref, ksin_ref = rest[:4]
+        rest = rest[4:]
+    else:
+        qcos_ref = qsin_ref = kcos_ref = ksin_ref = None
+    if single_kv:
+        o_ref, lse_ref = rest
+        m_scr = l_scr = acc_scr = None
+    else:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+    D = q_ref.shape[-1] // n_head
+    half = D // 2
+
+    if not single_kv:
+        @pl.when(kv_idx == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # additive mask in log2 space, computed ONCE per tile (shared by heads)
+    mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
+                          DEFAULT_MASK_VALUE)        # (block_q, block_kv)
+    qrows = q_ref[0]                                 # (block_q, H*D)
+    krows = k_ref[0]                                 # (block_kv, H*D)
+    vrows = v_ref[0]
+    dtype = qrows.dtype
+
+    if single_kv:
+        # One kv block covers the whole sequence: no online-softmax state,
+        # no accumulator scratch — each head normalises and stores directly.
+        lse_cols = []
+        for h in range(n_head):
+            sl = slice(h * D, (h + 1) * D)
+            s2 = _mh_scores(qrows, krows, h, D, half, mask_bias, scale,
+                            qcos_ref, qsin_ref, kcos_ref, ksin_ref, use_rope)
+            m2 = jnp.max(s2, axis=1, keepdims=True)
+            p = jnp.exp2(s2 - m2)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            if dropout_rate > 0.0:
+                b, qi = pl.program_id(0), pl.program_id(1)
+                nq = pl.num_programs(1)
+                unique = ((b * n_head + h) * nq + qi) * n_kv + kv_idx
+                keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0],
+                                     unique)
+                p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+            pv = jax.lax.dot(p.astype(dtype), vrows[:, sl],
+                             preferred_element_type=jnp.float32)
+            o_ref[0, :, sl] = (pv * (1.0 / l)).astype(o_ref.dtype)
+            lse_cols.append(m2 + jnp.log2(l))        # log2 space
+        lse_ref[0] = jnp.concatenate(lse_cols, axis=1)
+        return
+
+    for h in range(n_head):
+        sl = slice(h * D, (h + 1) * D)
+        s2 = _mh_scores(qrows, krows, h, D, half, mask_bias, scale,
+                        qcos_ref, qsin_ref, kcos_ref, ksin_ref, use_rope)
+
+        m_prev = m_scr[:, h:h + 1]
+        l_prev = l_scr[:, h:h + 1]
+        m_curr = jnp.max(s2, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s2 - m_next)
+        l_scr[:, h:h + 1] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[:, h:h + 1] = m_next
+
+        if dropout_rate > 0.0:
+            b, qi = pl.program_id(0), pl.program_id(1)
+            nq = pl.num_programs(1)
+            unique = ((b * n_head + h) * nq + qi) * n_kv + kv_idx
+            keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0], unique)
+            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+
+        acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot(
+            p.astype(dtype), vrows[:, sl],
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        l_fin = l_scr[...]                       # (block_q, H)
+        l_inv = jnp.where(l_fin == 0.0, 0.0, 1.0 / l_fin)
+        m_fin = m_scr[...]
+        # lse residual in LOG2 space (the backward recomputes p as
+        # exp2(s2 - lse2))
+        lse_ref[0] = m_fin + jnp.log2(jnp.where(l_fin == 0.0, 1.0, l_fin))
+        o = acc_scr[...].reshape(acc_scr.shape[0], n_head, D)
+        o = o * l_inv[:, :, None]
+        o_ref[0] = o.reshape(acc_scr.shape).astype(o_ref.dtype)
+
+
+def _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, *, scale, block_q,
+            block_kv, dropout_rate, use_rope):
+    """Returns (o (B,T,H,D), lse (B,Tq,H))."""
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+    grid = (B, Tq // block_q, Tk // block_kv)
+    q = q.reshape(B, Tq, H * D)
+    k = k.reshape(B, Tk, H * D)
+    v = v.reshape(B, Tk, H * D)
+    qseg2 = q_seg[:, :, None].astype(jnp.int32)
+    kseg2 = kv_seg[:, None, :].astype(jnp.int32)
+    seed_arr = jnp.asarray([seed], jnp.int32) if jnp.ndim(seed) == 0 \
+        else seed.astype(jnp.int32).reshape(1)
+
+    single_kv = Tk == block_kv
+    kernel = functools.partial(
+        _mh_fwd_kernel, scale=scale, n_head=H, use_rope=use_rope,
+        dropout_rate=dropout_rate, single_kv=single_kv)
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Tq, H * D), q.dtype),
+        jax.ShapeDtypeStruct((B, Tq, H), jnp.float32),
+    ]
+    in_specs = [
+        pl.BlockSpec((1, block_q, H * D),
+                     lambda b, qi, ki, *_: (b, qi, 0)),
+        pl.BlockSpec((1, block_kv, H * D),
+                     lambda b, qi, ki, *_: (b, ki, 0)),
+        pl.BlockSpec((1, block_kv, H * D),
+                     lambda b, qi, ki, *_: (b, ki, 0)),
+        pl.BlockSpec((1, block_q, 1),
+                     lambda b, qi, ki, *_: (b, qi, 0)),
+        pl.BlockSpec((1, 1, block_kv),
+                     lambda b, qi, ki, *_: (b, 0, ki)),
+    ]
+    args = [seed_arr, q, k, v, qseg2, kseg2]
+    if use_rope:
+        in_specs += [
+            pl.BlockSpec((block_q, D), lambda b, qi, ki, *_: (qi, 0)),
+            pl.BlockSpec((block_q, D), lambda b, qi, ki, *_: (qi, 0)),
+            pl.BlockSpec((block_kv, D), lambda b, qi, ki, *_: (ki, 0)),
+            pl.BlockSpec((block_kv, D), lambda b, qi, ki, *_: (ki, 0)),
+        ]
+        args += [cos2, sin2, cos2, sin2]
+    with _interpret_ctx():
+        o, lse = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=[
+                    pl.BlockSpec((1, block_q, H * D),
+                                 lambda b, qi, ki, *_: (b, qi, 0)),
+                    pl.BlockSpec((1, block_q, H),
+                                 lambda b, qi, ki, *_: (b, qi, 0)),
+                ],
+                scratch_shapes=[] if single_kv else [
+                    pltpu.VMEM((block_q, H), jnp.float32),
+                    pltpu.VMEM((block_q, H), jnp.float32),
+                    pltpu.VMEM((block_q, H * D), jnp.float32),
+                ],
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=VMEM_LIMIT),
+        )(*args)
+    return o.reshape(B, Tq, H, D), lse
+
+
+def _mh_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+                       *rest, scale, n_head, use_rope, dropout_rate):
+    if use_rope:
+        (qcos_ref, qsin_ref, kcos_ref, ksin_ref, lse_ref, do_ref, di_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = rest
+    else:
+        (lse_ref, do_ref, di_ref, dk_ref, dv_ref, dk_scr, dv_scr) = rest
+        qcos_ref = qsin_ref = kcos_ref = ksin_ref = None
+    q_idx = pl.program_id(2)
+    n_q = pl.num_programs(2)
+    D = q_ref.shape[-1] // n_head
+    half = D // 2
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
+                          DEFAULT_MASK_VALUE)        # (block_q, block_kv)
+    qrows, krows, vrows, dorows = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    dtype = qrows.dtype
+
+    for h in range(n_head):
+        sl = slice(h * D, (h + 1) * D)
+        q = qrows[:, sl]
+        k = krows[:, sl]
+        if use_rope:
+            q = _rope_rot(q, qcos_ref[...], qsin_ref[...], half).astype(dtype)
+            k = _rope_rot(k, kcos_ref[...], ksin_ref[...], half).astype(dtype)
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * (scale * LOG2E) + mask_bias
+        p = jnp.exp2(s2 - lse_ref[0][:, h:h + 1])    # lse is log2-space
+
+        do = dorows[:, sl]
+        dp = jax.lax.dot_general(
+            do, vrows[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        if dropout_rate > 0.0:
+            b, kv_i = pl.program_id(0), pl.program_id(1)
+            n_kv = pl.num_programs(1)
+            unique = ((b * n_head + h) * n_q + q_idx) * n_kv + kv_i
+            keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0], unique)
+            inv = 1.0 / (1.0 - dropout_rate)
+            p_drop = jnp.where(keep, p * inv, 0.0)
+            dp = jnp.where(keep, dp * inv, 0.0)
+        else:
+            p_drop = p
+
+        dv_scr[:, sl] += jax.lax.dot_general(
+            p_drop.astype(dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        di = di_ref[0][:, h:h + 1]
+        ds = p * (dp - di) * scale
+        dk_scr[:, sl] += jax.lax.dot_general(
+            ds.astype(dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == n_q - 1)
+    def _store():
+        if use_rope:
+            dk_rows = dk_scr[...]
+            for h in range(n_head):
+                sl = slice(h * D, (h + 1) * D)
+                dk_ref[0, :, sl] = _rope_rot_inv(
+                    dk_rows[:, sl], kcos_ref[...], ksin_ref[...],
+                    half).astype(dk_ref.dtype)
+        else:
+            dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _mh_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
+                      *rest, scale, n_head, use_rope, dropout_rate):
+    if use_rope:
+        (qcos_ref, qsin_ref, kcos_ref, ksin_ref, lse_ref, do_ref, di_ref,
+         dq_ref, dq_scr) = rest
+    else:
+        lse_ref, do_ref, di_ref, dq_ref, dq_scr = rest
+        qcos_ref = qsin_ref = kcos_ref = ksin_ref = None
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+    D = q_ref.shape[-1] // n_head
+    half = D // 2
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
+                          DEFAULT_MASK_VALUE)
+    qrows, krows, vrows, dorows = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    dtype = qrows.dtype
+
+    for h in range(n_head):
+        sl = slice(h * D, (h + 1) * D)
+        q = qrows[:, sl]
+        k = krows[:, sl]
+        if use_rope:
+            q = _rope_rot(q, qcos_ref[...], qsin_ref[...], half).astype(dtype)
+            k = _rope_rot(k, kcos_ref[...], ksin_ref[...], half).astype(dtype)
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * (scale * LOG2E) + mask_bias
+        p = jnp.exp2(s2 - lse_ref[0][:, h:h + 1])    # lse is log2-space
+
+        do = dorows[:, sl]
+        dp = jax.lax.dot_general(
+            do, vrows[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        if dropout_rate > 0.0:
+            b, q_i = pl.program_id(0), pl.program_id(1)
+            nq = pl.num_programs(1)
+            unique = ((b * n_head + h) * nq + q_i) * n_kv + kv_idx
+            keep = _dropout_keep(dp.shape, dropout_rate, seed_ref[0], unique)
+            dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
+
+        ds = p * (dp - di_ref[0][:, h:h + 1]) * scale
+        dq_scr[:, sl] += jax.lax.dot(
+            ds.astype(dtype), k, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store():
+        if use_rope:
+            dq_rows = dq_scr[...]
+            for h in range(n_head):
+                sl = slice(h * D, (h + 1) * D)
+                dq_ref[0, :, sl] = _rope_rot_inv(
+                    dq_rows[:, sl], qcos_ref[...], qsin_ref[...],
+                    half).astype(dq_ref.dtype)
+        else:
+            dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g):
+    q, k, v, q_seg, kv_seg, cos2, sin2, seed, o, lse = res
+    do = g
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                 axis=-1)                          # (B, Tq, H)
+    q = q.reshape(B, Tq, H * D)
+    k = k.reshape(B, Tk, H * D)
+    v = v.reshape(B, Tk, H * D)
+    do = do.reshape(B, Tq, H * D)
+    qseg2 = q_seg[:, :, None].astype(jnp.int32)
+    kseg2 = kv_seg[:, None, :].astype(jnp.int32)
+    seed_arr = jnp.asarray([seed], jnp.int32) if jnp.ndim(seed) == 0 \
+        else seed.astype(jnp.int32).reshape(1)
+
+    dkv_specs = [
+        pl.BlockSpec((1, block_q, H * D),
+                     lambda b, ki, qi, *_: (b, qi, 0)),
+        pl.BlockSpec((1, block_kv, H * D),
+                     lambda b, ki, qi, *_: (b, ki, 0)),
+        pl.BlockSpec((1, block_kv, H * D),
+                     lambda b, ki, qi, *_: (b, ki, 0)),
+        pl.BlockSpec((1, block_q, 1),
+                     lambda b, ki, qi, *_: (b, qi, 0)),
+        pl.BlockSpec((1, 1, block_kv),
+                     lambda b, ki, qi, *_: (b, 0, ki)),
+    ]
+    dkv_args = [seed_arr, q, k, v, qseg2, kseg2]
+    if use_rope:
+        dkv_specs += [
+            pl.BlockSpec((block_q, D), lambda b, i, j, *_: (j, 0)),    # q cos
+            pl.BlockSpec((block_q, D), lambda b, i, j, *_: (j, 0)),    # q sin
+            pl.BlockSpec((block_kv, D), lambda b, i, j, *_: (i, 0)),   # k cos
+            pl.BlockSpec((block_kv, D), lambda b, i, j, *_: (i, 0)),   # k sin
+        ]
+        dkv_args += [cos2, sin2, cos2, sin2]
+    dkv_specs += [
+        pl.BlockSpec((1, block_q, H),
+                     lambda b, ki, qi, *_: (b, qi, 0)),   # lse
+        pl.BlockSpec((1, block_q, H * D),
+                     lambda b, ki, qi, *_: (b, qi, 0)),   # do
+        pl.BlockSpec((1, block_q, H),
+                     lambda b, ki, qi, *_: (b, qi, 0)),   # di
+    ]
+    dkv_args += [lse, do, di]
+    dkv_kernel = functools.partial(
+        _mh_bwd_dkv_kernel, scale=scale, n_head=H, use_rope=use_rope,
+        dropout_rate=dropout_rate)
+    with _interpret_ctx():
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, Tk // block_kv, Tq // block_q),
+                in_specs=dkv_specs,
+                out_specs=[
+                    pl.BlockSpec((1, block_kv, H * D),
+                                 lambda b, ki, qi, *_: (b, ki, 0)),
+                    pl.BlockSpec((1, block_kv, H * D),
+                                 lambda b, ki, qi, *_: (b, ki, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_kv, H * D), jnp.float32),
+                    pltpu.VMEM((block_kv, H * D), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct(k.shape, k.dtype),
+                jax.ShapeDtypeStruct(v.shape, v.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=VMEM_LIMIT),
+        )(*dkv_args)
+
+        dq_specs = [
+            pl.BlockSpec((1, block_q, H * D),
+                         lambda b, qi, ki, *_: (b, qi, 0)),
+            pl.BlockSpec((1, block_kv, H * D),
+                         lambda b, qi, ki, *_: (b, ki, 0)),
+            pl.BlockSpec((1, block_kv, H * D),
+                         lambda b, qi, ki, *_: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, 1),
+                         lambda b, qi, ki, *_: (b, qi, 0)),
+            pl.BlockSpec((1, 1, block_kv),
+                         lambda b, qi, ki, *_: (b, 0, ki)),
+        ]
+        dq_args = [seed_arr, q, k, v, qseg2, kseg2]
+        if use_rope:
+            dq_specs += [
+                pl.BlockSpec((block_q, D), lambda b, qi, ki, *_: (qi, 0)),
+                pl.BlockSpec((block_q, D), lambda b, qi, ki, *_: (qi, 0)),
+                pl.BlockSpec((block_kv, D), lambda b, qi, ki, *_: (ki, 0)),
+                pl.BlockSpec((block_kv, D), lambda b, qi, ki, *_: (ki, 0)),
+            ]
+            dq_args += [cos2, sin2, cos2, sin2]
+        dq_specs += [
+            pl.BlockSpec((1, block_q, H),
+                         lambda b, qi, ki, *_: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, H * D),
+                         lambda b, qi, ki, *_: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, H),
+                         lambda b, qi, ki, *_: (b, qi, 0)),
+        ]
+        dq_args += [lse, do, di]
+        dq_kernel = functools.partial(
+            _mh_bwd_dq_kernel, scale=scale, n_head=H, use_rope=use_rope,
+            dropout_rate=dropout_rate)
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, Tq // block_q, Tk // block_kv),
+                in_specs=dq_specs,
+                out_specs=pl.BlockSpec((1, block_q, H * D),
+                                       lambda b, qi, ki, *_: (b, qi, 0)),
+                scratch_shapes=[pltpu.VMEM((block_q, H * D), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=VMEM_LIMIT),
+        )(*dq_args)
+    dq = dq.reshape(B, Tq, H, D)
+    dk = dk.reshape(B, Tk, H, D)
+    dv = dv.reshape(B, Tk, H, D)
+    return dq, dk, dv, None, None, jnp.zeros_like(cos2), \
+        jnp.zeros_like(sin2), None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _flash_mh(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale, block_q,
+              block_kv, dropout_rate, use_rope):
+    o, _ = _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale=scale,
+                   block_q=block_q, block_kv=block_kv,
+                   dropout_rate=dropout_rate, use_rope=use_rope)
+    return o
+
+
+def _flash_mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale, block_q,
+                  block_kv, dropout_rate, use_rope):
+    o, lse = _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale=scale,
+                     block_q=block_q, block_kv=block_kv,
+                     dropout_rate=dropout_rate, use_rope=use_rope)
+    return o, (q, k, v, q_seg, kv_seg, cos2, sin2, seed, o, lse)
+
+
+def _flash_mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g):
+    return _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g)
+
+
+_flash_mh.defvjp(_flash_mh_fwd, _flash_mh_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
@@ -462,11 +976,21 @@ def flash_attention(
     dropout_rng: Optional[jax.Array] = None,
     block_q: int = 128,
     block_kv: int = 128,
+    rope: Optional[tuple] = None,       # (cos, sin) (T, D/2) from rope_tables
+    multi_head: bool = True,
 ) -> jnp.ndarray:
     """Flash attention over (B, T, H, D) inputs with segment-id masking.
 
     segment_ids=None means dense bidirectional attention (every position
     visible — the encode() path, reference model.py:268).
+
+    multi_head=True (default) uses the row-blocked kernels: (block, H*D)
+    contiguous tiles with the head loop inside — measured substantially
+    faster than the per-head grid because the per-head grid's (block, D)
+    tiles are strided reads of a (B, T, H*D) array. rope=(cos, sin) fuses
+    rotate-half RoPE (models/rope.py:apply_rope_half) on q/k inside the
+    kernels, so the rotation is recomputed in both passes instead of ever
+    touching HBM (requires multi_head=True).
     """
     B, T, H, D = q.shape
     assert T % block_q == 0 and T % block_kv == 0, (T, block_q, block_kv)
@@ -483,6 +1007,13 @@ def flash_attention(
     else:
         seed = jnp.int32(0)
 
+    if multi_head:
+        # full-width tables [c|c], [s|s] so the in-kernel rotation is two
+        # lane-aligned multiplies + one concat (see _rope_rot)
+        return _flash_mh_apply(q, k, v, segment_ids, seed, scale,
+                               block_q, block_kv, dropout_rate, rope)
+
+    assert rope is None, "rope fusion requires the multi_head kernel"
     # the kernel consumes the model's native (B, T, H, D) layout directly —
     # no transposes (they cost ~7 ms/step at omnibiote-small scale)
     return _flash(q, k, v, segment_ids, segment_ids, seed,
@@ -491,13 +1022,15 @@ def flash_attention(
 
 def flash_attention_tp(q, k, v, *, segment_ids=None, scale,
                        mesh, model_axis="model", dropout_rate=0.0,
-                       dropout_rng=None, block_q=512, block_kv=1024):
+                       dropout_rng=None, block_q=512, block_kv=1024,
+                       rope=None):
     """Head-parallel flash attention: shard H over `model_axis` and run the
     kernel per-device on its local heads (zero communication — head
     parallelism needs none; boom_attention_tricks.md §14). Use under tensor
     parallelism so the kernel consumes the already-head-sharded qkv
-    activations instead of forcing an all-gather."""
-    import functools as _ft
+    activations instead of forcing an all-gather. rope=(cos, sin) fuses
+    RoPE per shard (tables are position-indexed, so head sharding leaves
+    them whole)."""
     from jax.sharding import PartitionSpec as P
 
     if segment_ids is None:
@@ -517,8 +1050,8 @@ def flash_attention_tp(q, k, v, *, segment_ids=None, scale,
         # shards (device i, tile u == device i+1, tile u-1).
         idx = jax.lax.axis_index(model_axis)
         mixed = seed ^ (idx * jnp.int32(-1640531527))  # 0x9E3779B9 as int32
-        return _flash(q, k, v, seg, seg, mixed, scale, block_q,
-                      block_kv, float(dropout_rate))
+        return _flash_mh_apply(q, k, v, seg, mixed, scale, block_q,
+                               block_kv, dropout_rate, rope)
 
     spec = P(None, None, model_axis, None)
     # check_vma=False: pallas_call outputs don't carry varying-axis metadata
@@ -527,3 +1060,19 @@ def flash_attention_tp(q, k, v, *, segment_ids=None, scale,
         in_specs=(spec, spec, spec, P(), P()),
         out_specs=spec, check_vma=False)
     return fn(q, k, v, segment_ids, seed)
+
+
+def _flash_mh_apply(q, k, v, seg, seed, scale, block_q, block_kv,
+                    dropout_rate, rope):
+    """Shared entry into the multi-head kernel: build full-width rope
+    tables (or dummies) and call the custom-vjp wrapper."""
+    T = q.shape[1]
+    use_rope = rope is not None
+    if use_rope:
+        cos, sin = rope
+        cos2 = jnp.concatenate([cos[:T], cos[:T]], axis=1).astype(jnp.float32)
+        sin2 = jnp.concatenate([sin[:T], sin[:T]], axis=1).astype(jnp.float32)
+    else:
+        cos2 = sin2 = jnp.zeros((1, 1), jnp.float32)
+    return _flash_mh(q, k, v, seg, seg, cos2, sin2, seed, scale,
+                     block_q, block_kv, float(dropout_rate), use_rope)

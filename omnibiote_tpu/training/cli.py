@@ -156,16 +156,18 @@ def main(argv=None):
         trainer.restore_checkpoint(path)
         print(f"Resumed from {path} (tokens={trainer.trained_tokens})")
 
-    if args.profile_dir:
-        out = trainer.profile(trace_dir=args.profile_dir)
-        print(f"profile written to {out}")
-        sink.close()
-        return trainer
+    try:
+        if args.profile_dir:
+            out = trainer.profile(trace_dir=args.profile_dir)
+            print(f"profile written to {out}")
+            return trainer
 
-    trainer.run(max_steps=args.max_steps, val_iters=val_iters)
-    trainer.save_checkpoint(final=True)
-    sink.close()
-    return trainer
+        trainer.run(max_steps=args.max_steps, val_iters=val_iters)
+        trainer.save_checkpoint(final=True)
+        return trainer
+    finally:
+        trainer.close()
+        sink.close()
 
 
 if __name__ == "__main__":

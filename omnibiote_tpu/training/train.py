@@ -334,6 +334,20 @@ class Trainer:
             self._staged = stream
         return self._staged
 
+    def close(self):
+        """Shut down the prefetch thread (if any). Call when done with the
+        Trainer — a live prefetcher otherwise keeps pulling batches in the
+        background for the life of the process."""
+        if self._staged is not None and hasattr(self._staged, "close"):
+            self._staged.close()
+        self._staged = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     # -- main loop ---------------------------------------------------------
 
     def train_step_once(self):

@@ -305,6 +305,7 @@ def test_prefetched_staging_matches_inline():
         la = float(tr_a.train_step_once()["loss"])
         lb = float(tr_b.train_step_once()["loss"])
         np.testing.assert_allclose(la, lb, rtol=1e-6)
+    tr_b.close()   # leaked prefetch threads abort interpreter shutdown
 
 
 def test_sp_long_context_8k():
