@@ -36,8 +36,8 @@ def main():
         vocab_size=2 ** 16, dropout=0.1, attn_impl="flash",
         compute_dtype="bfloat16",
         fused_ce=os.environ.get("BENCH_FUSED_CE", "0") == "1")
-    mini = int(os.environ.get("BENCH_MINI_BATCH", "8"))
-    accum = int(os.environ.get("BENCH_ACCUM", "4"))
+    mini = int(os.environ.get("BENCH_MINI_BATCH", "16"))
+    accum = int(os.environ.get("BENCH_ACCUM", "2"))
     batch = mini * accum * n_dev
     train_cfg = TrainConfig(
         batch_size=batch, mini_batch_size=mini, ctx_len=ctx,
@@ -54,7 +54,9 @@ def main():
                 toks[r, pos] = obt.EOS_TOKEN
             yield {"tokens": toks, "segments": segment_ids_np(toks)}
 
-    trainer = Trainer(model_cfg, train_cfg, batch_iter=batches())
+    # prefetch=2: staging (host assembly + sharded device_put) runs ahead in
+    # the background thread, same as the production CLI path
+    trainer = Trainer(model_cfg, train_cfg, batch_iter=batches(), prefetch=2)
 
     # Warmup: value fetch (not block_until_ready) is what actually flushes
     # compile + execution through the remote TPU relay.

@@ -40,6 +40,26 @@ def apply_mlm_mask(tokens: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, MASK_TOKEN, tokens)
 
 
+def _masked_order(mask: jnp.ndarray, capacity: int):
+    """Indices of each row's first `capacity` masked positions, in order.
+
+    Returns (order (B, cap) int32, valid (B, cap) bool). Equivalent to
+    `argsort(~mask, stable)[:, :cap]` on the valid slots but built from a
+    cumsum + batched binary search: slot j holds the first position t with
+    cumsum(mask)[t] == j+1. A stable argsort lowers to a full O(T log^2 T)
+    sorting network on TPU (~4% of the train step at T=1024); the search
+    is log2(T) gather rounds over (B, cap).
+    """
+    B, T = mask.shape
+    cs = jnp.cumsum(mask.astype(jnp.int32), axis=-1)          # (B, T)
+    targets = jnp.arange(1, capacity + 1, dtype=jnp.int32)    # (cap,)
+    order = jax.vmap(
+        lambda row: jnp.searchsorted(row, targets, side="left"))(cs)
+    valid = targets[None, :] <= cs[:, -1:]                    # j+1 <= total
+    order = jnp.minimum(order, T - 1).astype(jnp.int32)       # clamp overflow
+    return order, valid
+
+
 def _gather_masked(emb: jnp.ndarray, tokens: jnp.ndarray, mask: jnp.ndarray,
                    capacity: int):
     """Compact each row's masked positions into `capacity` slots.
@@ -48,10 +68,7 @@ def _gather_masked(emb: jnp.ndarray, tokens: jnp.ndarray, mask: jnp.ndarray,
     Per-row compaction keeps the batch dimension local to its shard — no
     cross-device gather under the data-parallel jit.
     """
-    B, T = tokens.shape
-    # Stable argsort of ~mask puts masked positions first, in order.
-    order = jnp.argsort(~mask, axis=-1, stable=True)[:, :capacity]  # (B, cap)
-    valid = jnp.take_along_axis(mask, order, axis=-1)
+    order, valid = _masked_order(mask, capacity)
     labels = jnp.take_along_axis(tokens, order, axis=-1)
     gathered = jnp.take_along_axis(emb, order[:, :, None], axis=1)
     return gathered, labels, valid
@@ -107,8 +124,7 @@ def mlm_loss(
         mask_b = mask.reshape(B, n_shards, T_l)
         emb_b = emb.reshape(B, n_shards, T_l, emb.shape[-1])
 
-        order = jnp.argsort(~mask_b, axis=-1, stable=True)[..., :cap]
-        valid = jnp.take_along_axis(mask_b, order, axis=-1)
+        order, valid = jax.vmap(_masked_order, in_axes=(0, None))(mask_b, cap)
         labels = jnp.take_along_axis(tok_b, order, axis=-1)
         g_emb = jnp.take_along_axis(emb_b, order[..., None], axis=2)
 

@@ -145,6 +145,51 @@ def test_dispatch_handles_all_bucketed_lengths():
                                    err_msg=f"T={T}")
 
 
+def test_rope_fusion_matches_external_rotation():
+    """flash(rope=(cos,sin)) == apply_rope_half outside + flash, forward and
+    grads (the fused path recomputes the rotation in fwd and both bwd
+    kernels and inverse-rotates dq/dk at store)."""
+    from omnibiote_tpu.models.rope import rope_tables, apply_rope_half
+
+    q, k, v, seg = _inputs(B=1, T=256, H=2, D=128, seed=8)
+    cos, sin = rope_tables(128, 256, 10000.0)
+
+    def fused(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return flash_attention(q, k, v, segment_ids=seg, scale=SCALE,
+                                   block_q=128, block_kv=128,
+                                   rope=(cos, sin))
+
+    def external(q, k, v):
+        qr, kr = apply_rope_half(q, k, cos, sin)
+        with pltpu.force_tpu_interpret_mode():
+            return flash_attention(qr, kr, v, segment_ids=seg, scale=SCALE,
+                                   block_q=128, block_kv=128)
+
+    np.testing.assert_allclose(np.asarray(fused(q, k, v)),
+                               np.asarray(external(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+    gf = jax.grad(lambda *a: jnp.sum(fused(*a) ** 2), (0, 1, 2))(q, k, v)
+    ge = jax.grad(lambda *a: jnp.sum(external(*a) ** 2), (0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, ge, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_single_vs_multi_kv_block_paths_agree():
+    """The single-kv-block specialisation (no online-softmax state) must
+    agree with the multi-block online-softmax path."""
+    q, k, v, seg = _inputs(B=1, T=256, H=2, D=64, seed=9)
+    with pltpu.force_tpu_interpret_mode():
+        one = flash_attention(q, k, v, segment_ids=seg, scale=SCALE,
+                              block_q=128, block_kv=256)   # single kv block
+        multi = flash_attention(q, k, v, segment_ids=seg, scale=SCALE,
+                                block_q=128, block_kv=128)  # two kv blocks
+    np.testing.assert_allclose(np.asarray(one), np.asarray(multi),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_flash_attention_tp_head_sharded():
     """Head-parallel flash via shard_map matches the dense oracle."""
     from omnibiote_tpu.ops.flash_attention import flash_attention_tp
