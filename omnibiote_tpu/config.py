@@ -113,6 +113,11 @@ class OmniBioTAConfig:
 
 
 # Named model sizes used by the reference (README.md:63, proteinGLUE.py:665).
+# NOTE: 'omnibiote-medium' carries the reference's *default* config values
+# (model.py:185-189), whose 12 heads do not divide n_embd=1024 — the
+# reference's own `assert n_embd % n_head == 0` (model.py:77) rejects it
+# just as our head_dim assert does. Kept verbatim for parity; pass
+# n_head=16 (or n_embd=1536) to get a usable 12-layer model.
 PRESETS = {
     "omnibiote-small": dict(n_layer=8, n_embd=1024, n_head=8, block_size=1024),
     "omnibiote-medium": dict(n_layer=12, n_embd=1024, n_head=12, block_size=1024),

@@ -71,11 +71,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="call jax.distributed.initialize() for multi-host "
                         "pods (coordinator from env, replacing torchrun)")
     p.add_argument("--sharding", type=str, default=None,
-                   choices=["replicated", "fsdp", "tp", "sp", "fsdp+tp"],
+                   choices=["replicated", "fsdp", "tp", "sp", "pp",
+                            "fsdp+tp"],
                    help="parameter/activation sharding mode (default "
                         "replicated; --FSDP implies fsdp). 'sp' shards the "
                         "sequence (ring attention); 'tp' needs a 2D "
-                        "--mesh_shape or puts all devices on the model axis")
+                        "--mesh_shape or puts all devices on the model axis; "
+                        "'pp' pipelines layer stages over the devices "
+                        "(n_layer must divide by the stage count)")
     p.add_argument("--mesh_shape", type=int, nargs="+", default=None,
                    metavar="N",
                    help="device mesh shape, e.g. --mesh_shape 4 2 for "

@@ -132,6 +132,52 @@ def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
     return train_step
 
 
+def make_pp_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
+                       optimizer, mesh):
+    """Pipeline-parallel train step: all A microbatches flow through the
+    stage pipeline in ONE pipelined pass (parallel/pipeline.py) instead of
+    the sequential accumulation scan — the pipeline schedule IS the
+    accumulation. Loss/grad semantics match the dp path bit-for-bit for
+    the same rng (proven in tests/test_training.py)."""
+    from ..parallel.pipeline import pp_mlm_loss
+
+    cdt = model_cfg.cdtype()
+
+    def compute_copy(params):
+        if jnp.dtype(cdt) == jnp.dtype(model_cfg.pdtype()):
+            return params
+        return jax.tree.map(
+            lambda p: p.astype(cdt) if p.ndim >= 2 else p, params)
+
+    def train_step(params, opt_state, tokens, segments, micro_weights, rng,
+                   step):
+        step_rng = jax.random.fold_in(rng, step)
+        params_c = compute_copy(params)
+
+        def loss_fn(p):
+            return pp_mlm_loss(
+                p, model_cfg, tokens, segments, micro_weights, step_rng,
+                mesh, mask_prob=train_cfg.mask_prob,
+                deterministic=model_cfg.dropout == 0.0)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params_c)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u: (p.astype(jnp.float32) + u).astype(p.dtype),
+            params, updates)
+        metrics = {
+            "loss": loss,
+            "masked_tokens": aux["masked_count"],
+            "num_tokens": aux["num_tokens"],
+            "grad_norm": optax_global_norm(grads),
+        }
+        return params, opt_state, metrics
+
+    return train_step
+
+
 def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)))
 
@@ -190,6 +236,12 @@ class Trainer:
         tc = train_cfg
         if mesh is not None:
             self.mesh = mesh
+        elif tc.sharding == "pp":
+            import jax as _jax
+            n = (tc.mesh_shape[0] if tc.mesh_shape is not None
+                 else len(_jax.devices()))
+            self.mesh = make_mesh((n,), axis_names=("stage",),
+                                  devices=_jax.devices()[:n])
         elif tc.mesh_shape is not None:
             names = ("data", "model")[:len(tc.mesh_shape)]
             self.mesh = make_mesh(tuple(tc.mesh_shape), axis_names=names)
@@ -208,8 +260,10 @@ class Trainer:
         # batch); one accumulation slot processes mini * n_data rows, where
         # n_data is the DATA-parallel degree (model-axis devices split each
         # row's compute, not the batch). In sp mode the sequence (not the
-        # batch) shards over devices, so the micro batch is global as given.
-        self.global_micro = (tc.mini_batch_size if tc.sharding == "sp"
+        # batch) shards over devices; in pp mode the stages split layers —
+        # either way the micro batch is global as given.
+        self.global_micro = (tc.mini_batch_size
+                             if tc.sharding in ("sp", "pp")
                              else tc.mini_batch_size * self.n_data)
         assert tc.batch_size % self.global_micro == 0, (
             f"batch_size {tc.batch_size} must divide by mini_batch_size *"
@@ -229,7 +283,15 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
 
         self._param_specs = None
-        if tc.sharding != "replicated":
+        if tc.sharding == "pp":
+            # pipeline: stacked layer dim sharded over the stage axis
+            from ..parallel.pipeline import shard_params_pp
+            from ..parallel.sharding import shard_opt_state_like
+            self.params, self._param_specs = shard_params_pp(
+                self.params, self.mesh)
+            self.opt_state = shard_opt_state_like(
+                self.opt_state, self.params, self._param_specs, self.mesh)
+        elif tc.sharding != "replicated":
             # FSDP/TP: annotate params + optimizer state; XLA inserts the
             # gathers/reductions (see parallel/sharding.py)
             from ..parallel.sharding import shard_params, shard_opt_state_like
@@ -259,8 +321,12 @@ class Trainer:
                                  and mesh_axes.get("model", 1) > 1
                                  and model_cfg.n_head % mesh_axes["model"] == 0)
                    else None)
-        step_fn = make_train_step(model_cfg, tc, self.optimizer,
-                                  ring_mesh=ring_mesh, tp_mesh=tp_mesh)
+        if tc.sharding == "pp":
+            step_fn = make_pp_train_step(model_cfg, tc, self.optimizer,
+                                         self.mesh)
+        else:
+            step_fn = make_train_step(model_cfg, tc, self.optimizer,
+                                      ring_mesh=ring_mesh, tp_mesh=tp_mesh)
         self._train_step = jax.jit(step_fn, donate_argnums=(0, 1))
         self._eval_step = jax.jit(make_eval_step(model_cfg, tc))
 
@@ -304,9 +370,16 @@ class Trainer:
         weights = np.zeros((A,), np.float32)
         weights[:active] = 1.0
         batch = {"tokens": tokens, "segments": segments}
-        # dp: shard rows (dim 1); sp: shard the sequence (dim 2)
-        bdim = 2 if self.train_cfg.sharding == "sp" else 1
-        batch = shard_batch_pytree(self.mesh, batch, batch_dim=bdim)
+        if self.train_cfg.sharding == "pp":
+            # pipeline: microbatches are consumed tick-by-tick by every
+            # stage — the batch is replicated over the stage axis
+            from ..parallel.mesh import replicated
+            batch = {k: jax.device_put(v, replicated(self.mesh))
+                     for k, v in batch.items()}
+        else:
+            # dp: shard rows (dim 1); sp: shard the sequence (dim 2)
+            bdim = 2 if self.train_cfg.sharding == "sp" else 1
+            batch = shard_batch_pytree(self.mesh, batch, batch_dim=bdim)
         return batch, jnp.asarray(weights)
 
     def _staged_stream(self):

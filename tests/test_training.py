@@ -327,3 +327,51 @@ def test_sp_long_context_8k():
     tr._grand = tr._grand_seg = None
     m = tr.train_step_once()
     assert np.isfinite(float(m["loss"]))
+
+
+def test_pp_pipeline_matches_dp():
+    """Pipeline parallelism (GPipe schedule over a 'stage' mesh axis):
+    layer slices sharded per stage, microbatches flowing via ppermute.
+    Losses must track the dp accumulation path step for step (same rng
+    stream — parallel/pipeline.py mirrors the per-micro key discipline)."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = MODEL.replace(n_layer=4)
+    tc = TrainConfig(batch_size=8, mini_batch_size=2, ctx_len=32, lr=1e-2,
+                     token_budget=8 * 32 * 100.0, seed=0, sharding="pp",
+                     mesh_shape=(4,))
+    tr = Trainer(cfg, tc, batch_iter=synth_batches(8, 32, seed=17))
+    assert tuple(tr.mesh.axis_names) == ("stage",)
+    # layer stack actually sharded over the stage axis
+    wqkv = tr.params["blocks"]["attn"]["wqkv"]
+    assert not wqkv.sharding.is_fully_replicated
+
+    losses_pp = []
+    tr.run(max_steps=6, on_metrics=lambda r: losses_pp.append(r["loss"]))
+
+    tc_r = tc.replace(sharding="replicated", mesh_shape=None)
+    tr_r = Trainer(cfg, tc_r, batch_iter=synth_batches(8, 32, seed=17),
+                   mesh=make_mesh((1,), axis_names=("data",),
+                                  devices=jax.devices()[:1]))
+    losses_r = []
+    tr_r.run(max_steps=6, on_metrics=lambda r: losses_r.append(r["loss"]))
+    np.testing.assert_allclose(losses_pp, losses_r, rtol=1e-4, atol=1e-5)
+
+
+def test_pp_with_dropout_matches_dp_stream():
+    """With dropout on, pp reproduces the dp path's exact mask/dropout
+    streams (same per-micro fold_in/split discipline), so losses are
+    bit-comparable, not just statistically similar."""
+    cfg = MODEL.replace(n_layer=2, dropout=0.1)
+    tc = TrainConfig(batch_size=4, mini_batch_size=2, ctx_len=32, lr=1e-2,
+                     token_budget=4 * 32 * 50.0, seed=3, sharding="pp",
+                     mesh_shape=(2,))
+    tr = Trainer(cfg, tc, batch_iter=synth_batches(4, 32, seed=23))
+    losses_pp = [float(tr.train_step_once()["loss"]) for _ in range(3)]
+
+    tc_r = tc.replace(sharding="replicated", mesh_shape=None)
+    tr_r = Trainer(cfg, tc_r, batch_iter=synth_batches(4, 32, seed=23),
+                   mesh=make_mesh((1,), axis_names=("data",),
+                                  devices=jax.devices()[:1]))
+    losses_r = [float(tr_r.train_step_once()["loss"]) for _ in range(3)]
+    np.testing.assert_allclose(losses_pp, losses_r, rtol=1e-4, atol=1e-5)
