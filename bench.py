@@ -64,7 +64,7 @@ def main():
         m = trainer.train_step_once()
     float(m["loss"])
 
-    steps = int(os.environ.get("BENCH_STEPS", "12"))
+    steps = int(os.environ.get("BENCH_STEPS", "24"))
     t0 = time.time()
     for _ in range(steps):
         m = trainer.train_step_once()
