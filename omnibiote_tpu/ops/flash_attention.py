@@ -781,7 +781,13 @@ def _mh_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
             dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g):
+def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
+            dlse=None):
+    """Shared backward. dlse (B, Tq, H), natural-log space: cotangent of
+    the lse output for the lse-exposing variant (_flash_mh_lse). It folds
+    into the existing kernels with zero kernel changes: the kernels compute
+    ds = p*(dp - di), and d(lse)/ds = p, so passing di' = di - dlse yields
+    ds = p*(dp - di + dlse) — exactly the combined gradient."""
     q, k, v, q_seg, kv_seg, cos2, sin2, seed, o, lse = res
     do = g
     B, Tq, H, D = q.shape
@@ -789,6 +795,8 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g):
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
                  axis=-1)                          # (B, Tq, H)
+    if dlse is not None:
+        di = di - dlse.astype(jnp.float32)
     q = q.reshape(B, Tq, H * D)
     k = k.reshape(B, Tk, H * D)
     v = v.reshape(B, Tk, H * D)
@@ -935,6 +943,42 @@ def _flash_mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g):
 
 
 _flash_mh.defvjp(_flash_mh_fwd, _flash_mh_bwd)
+
+
+LN2 = 0.6931471805599453
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _flash_mh_lse(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale, block_q,
+                  block_kv, dropout_rate, use_rope):
+    """Like _flash_mh but ALSO returns the logsumexp residual (natural-log,
+    (B, Tq, H)) as a differentiable output. This is the building block for
+    blockwise/ring attention: per-block (o_i, lse_i) pairs recombine as
+    o = Σ o_i·e^{lse_i} / Σ e^{lse_i}, and the combine's lse cotangent
+    reaches the kernels through the di adjustment (see _mh_bwd)."""
+    o, lse2 = _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale=scale,
+                      block_q=block_q, block_kv=block_kv,
+                      dropout_rate=dropout_rate, use_rope=use_rope)
+    return o, lse2 * LN2
+
+
+def _flash_mh_lse_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale,
+                      block_q, block_kv, dropout_rate, use_rope):
+    o, lse2 = _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale=scale,
+                      block_q=block_q, block_kv=block_kv,
+                      dropout_rate=dropout_rate, use_rope=use_rope)
+    return (o, lse2 * LN2), (q, k, v, q_seg, kv_seg, cos2, sin2, seed, o,
+                             lse2)
+
+
+def _flash_mh_lse_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res,
+                      g):
+    do, dlse = g
+    return _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res,
+                   do, dlse=dlse)
+
+
+_flash_mh_lse.defvjp(_flash_mh_lse_fwd, _flash_mh_lse_bwd)
 
 
 # ---------------------------------------------------------------------------
