@@ -72,8 +72,8 @@ def main():
             n_layer=8, n_embd=1024, n_head=8, block_size=ctx,
             vocab_size=2 ** 16, dropout=0.1, attn_impl="flash",
             compute_dtype="bfloat16")
-        mini = int(os.environ.get("BENCH_MINI_BATCH", "8"))
-        accum = int(os.environ.get("BENCH_ACCUM", "4"))
+        mini = int(os.environ.get("BENCH_MINI_BATCH", "16"))
+        accum = int(os.environ.get("BENCH_ACCUM", "2"))
         batch = mini * accum * n_dev
         train_cfg = TrainConfig(
             batch_size=batch, mini_batch_size=mini, ctx_len=ctx,
