@@ -81,6 +81,12 @@ class OmniBioTAConfig:
     # configs (large caps, bigger vocab, long context without compaction).
     fused_ce: bool = False
 
+    # Inference-only: set True for parameter trees produced by
+    # ops/quant.py:quantize_for_inference, whose wqkv already carries the
+    # RoPE de-interleave column permutation (the per-forward gather in
+    # _block is skipped).
+    qkv_prepermuted: bool = False
+
     # µP base widths (reference train_encoder.py:157-166). width_mult =
     # n_embd / mup_base_n_embd. Setting mup_base_n_embd == n_embd disables µP
     # scaling (width_mult == 1).

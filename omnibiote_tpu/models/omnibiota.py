@@ -144,6 +144,10 @@ def _dropout(x, rate, rng, deterministic):
 
 
 def _linear(x, w, b=None, compute_dtype=None):
+    from ..ops.quant import QuantizedWeight, quant_linear
+    if isinstance(w, QuantizedWeight):
+        # int8 serving path (ops/quant.py): int8 x int8 -> int32 on the MXU
+        return quant_linear(x, w, b)
     w = w.astype(x.dtype) if compute_dtype is None else w.astype(compute_dtype)
     y = x @ w
     if b is not None:
@@ -163,17 +167,18 @@ def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
     # shared head_dim permutation of q and k leaves attention exactly
     # invariant, and rotate-half on contiguous halves avoids the strided
     # even/odd lane access of the complex-pair formulation (models/rope.py).
-    perm = deinterleave_perm(Dh)
-    col_perm = (np.arange(H)[:, None] * Dh + perm[None, :]).reshape(-1)
     wqkv = bp["attn"]["wqkv"]
-    wq = jnp.take(wqkv[:, :D], col_perm, axis=1)
-    wk = jnp.take(wqkv[:, D:2 * D], col_perm, axis=1)
-    wqkv = jnp.concatenate([wq, wk, wqkv[:, 2 * D:]], axis=1)
     bqkv = bp["attn"].get("bqkv")
-    if bqkv is not None:
-        bq = jnp.take(bqkv[:D], col_perm)
-        bk = jnp.take(bqkv[D:2 * D], col_perm)
-        bqkv = jnp.concatenate([bq, bk, bqkv[2 * D:]])
+    if not cfg.qkv_prepermuted:
+        perm = deinterleave_perm(Dh)
+        col_perm = (np.arange(H)[:, None] * Dh + perm[None, :]).reshape(-1)
+        wq = jnp.take(wqkv[:, :D], col_perm, axis=1)
+        wk = jnp.take(wqkv[:, D:2 * D], col_perm, axis=1)
+        wqkv = jnp.concatenate([wq, wk, wqkv[:, 2 * D:]], axis=1)
+        if bqkv is not None:
+            bq = jnp.take(bqkv[:D], col_perm)
+            bk = jnp.take(bqkv[D:2 * D], col_perm)
+            bqkv = jnp.concatenate([bq, bk, bqkv[2 * D:]])
     qkv = _linear(h, wqkv, bqkv)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, T, H, Dh)
