@@ -18,7 +18,7 @@ restarts at 90% of peak LR there; here it resumes where it left off.
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,31 @@ import optax
 
 from ..config import OmniBioTAConfig, TrainConfig
 from ..mup import lr_mult_tree, wd_mult_tree
+
+
+class ClipByGlobalNormState(NamedTuple):
+    """Carries the pre-clip global grad norm so the training loop can log
+    it without a second full pass over the gradient tree (~1 GB fp32 at
+    omnibiote-small)."""
+    grad_norm: jnp.ndarray
+
+
+def clip_by_global_norm_logging(max_norm: float) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm semantics (g *= min(1, max/||g||)), with
+    the computed norm stashed in the state."""
+
+    def init_fn(params):
+        del params
+        return ClipByGlobalNormState(jnp.zeros([], jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params, state
+        gnorm = optax.global_norm(updates)
+        scale = max_norm / jnp.maximum(gnorm, max_norm)
+        updates = jax.tree.map(lambda u: u * scale, updates)
+        return updates, ClipByGlobalNormState(gnorm)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def scaled_lr(train_cfg: TrainConfig) -> float:
@@ -90,7 +115,7 @@ def make_optimizer(
     wd_mults = wd_mult_tree(params, model_cfg, force_lr=train_cfg.force_lr,
                             decoupled=train_cfg.mup_decoupled_wd)
     return optax.chain(
-        optax.clip_by_global_norm(train_cfg.grad_clip),
+        clip_by_global_norm_logging(train_cfg.grad_clip),
         optax.scale_by_adam(
             b1=train_cfg.beta1, b2=train_cfg.beta2, eps=train_cfg.epsilon),
         _add_mup_decayed_weights(train_cfg.weight_decay, wd_mults),

@@ -125,7 +125,9 @@ def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
             "loss": mean_loss,
             "masked_tokens": masked,
             "num_tokens": tokens_seen,
-            "grad_norm": optax_global_norm(grads),
+            # the clip transform already computed the norm — reuse it
+            # instead of a second full pass over the gradient tree
+            "grad_norm": opt_state[0].grad_norm,
         }
         return params, opt_state, metrics
 
@@ -171,7 +173,7 @@ def make_pp_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
             "loss": loss,
             "masked_tokens": aux["masked_count"],
             "num_tokens": aux["num_tokens"],
-            "grad_norm": optax_global_norm(grads),
+            "grad_norm": opt_state[0].grad_norm,
         }
         return params, opt_state, metrics
 
