@@ -185,6 +185,9 @@ class TrainConfig:
     # step with threefry at dropout 0.1)
     rng_impl: str = "rbg"
     log_every: int = 1
+    # Background-thread checkpoint writes: the device->host snapshot stays
+    # synchronous, the multi-GB npz/disk work overlaps training.
+    async_checkpoint: bool = False
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -71,7 +71,20 @@ def checkpoint_dir(save_dir: str, save_name: str, tokens: int) -> str:
     return os.path.join(save_dir, f"{save_name}_{tokens}")
 
 
-def save_checkpoint(trainer, final: bool = False) -> str:
+def save_checkpoint(trainer, final: bool = False,
+                    async_save: bool = False) -> str:
+    """Snapshot + write. async_save=True fetches the device state
+    synchronously (the snapshot must precede further train steps) but runs
+    the npz/disk work in a background thread, so training overlaps the
+    multi-GB write. Saves are serialised: a new save joins the previous
+    writer first; Trainer.close()/wait_for_checkpoint() join the last one.
+    """
+    # join any in-flight writer: ordering and rotation stay sequential
+    prev_thread = getattr(trainer, "_ckpt_thread", None)
+    if prev_thread is not None:
+        prev_thread.join()
+        trainer._ckpt_thread = None
+
     tc = trainer.train_cfg
     tokens = int(trainer.trained_tokens)
     name = tc.save_name if final else f"{tc.save_name}_{tokens}"
@@ -81,9 +94,6 @@ def save_checkpoint(trainer, final: bool = False) -> str:
 
     params_host = jax.device_get(trainer.params)
     opt_host = jax.device_get(trainer.opt_state)
-    save_pytree(os.path.join(tmp, "params.npz"), params_host)
-    save_pytree(os.path.join(tmp, "opt_state.npz"),
-                _optstate_to_tree(opt_host))
     meta = {
         "step": trainer.step,
         "trained_tokens": tokens,
@@ -99,16 +109,29 @@ def save_checkpoint(trainer, final: bool = False) -> str:
         "train_cfg": {k: (v if not isinstance(v, tuple) else list(v))
                       for k, v in vars(trainer.train_cfg).items()},
     }
-    with open(os.path.join(tmp, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2, default=str)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    prev_path = getattr(trainer, "_last_ckpt_path", None)
 
-    # rotate: delete previous non-final checkpoint (reference behaviour)
-    prev = getattr(trainer, "_last_ckpt_path", None)
-    if prev and prev != path and os.path.exists(prev) and not final:
-        shutil.rmtree(prev)
+    def _write():
+        save_pytree(os.path.join(tmp, "params.npz"), params_host)
+        save_pytree(os.path.join(tmp, "opt_state.npz"),
+                    _optstate_to_tree(opt_host))
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        # rotate: delete previous non-final checkpoint (reference behaviour)
+        if prev_path and prev_path != path and os.path.exists(prev_path) \
+                and not final:
+            shutil.rmtree(prev_path)
+
+    if async_save:
+        import threading
+        t = threading.Thread(target=_write, daemon=True)
+        t.start()
+        trainer._ckpt_thread = t
+    else:
+        _write()
     trainer._last_ckpt_path = path
     return path
 

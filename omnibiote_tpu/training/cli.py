@@ -58,6 +58,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Token count to resume from (0 = fresh; -1 = latest)")
     # TPU-native additions
     p.add_argument("--save_dir", type=str, default="checkpoints")
+    p.add_argument("--async_checkpoint", action="store_true",
+                   help="write checkpoints from a background thread "
+                        "(device snapshot stays synchronous)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--metrics_jsonl", type=str, default=None)
@@ -111,6 +114,7 @@ def main(argv=None):
         epsilon=args.epsilon, weight_decay=args.weight_decay,
         token_budget=args.token_budget, test_freq=args.test_freq,
         save_freq=args.save_freq, save_name=args.save_name,
+        async_checkpoint=args.async_checkpoint,
         save_dir=args.save_dir, force_lr=args.force_lr,
         banned_token=args.banned_token, warmup_period=args.warmup_period,
         batch_ramp=args.batch_ramp, train_type=args.train_type,

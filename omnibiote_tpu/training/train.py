@@ -410,12 +410,19 @@ class Trainer:
         return self._staged
 
     def close(self):
-        """Shut down the prefetch thread (if any). Call when done with the
-        Trainer — a live prefetcher otherwise keeps pulling batches in the
-        background for the life of the process."""
+        """Shut down the prefetch thread (if any) and join any in-flight
+        async checkpoint write. Call when done with the Trainer."""
         if self._staged is not None and hasattr(self._staged, "close"):
             self._staged.close()
         self._staged = None
+        self.wait_for_checkpoint()
+
+    def wait_for_checkpoint(self):
+        """Block until the last async checkpoint write (if any) completes."""
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
 
     def __enter__(self):
         return self
@@ -535,7 +542,9 @@ class Trainer:
 
     def save_checkpoint(self, final: bool = False):
         from .checkpoint import save_checkpoint
-        return save_checkpoint(self, final=final)
+        return save_checkpoint(
+            self, final=final,
+            async_save=self.train_cfg.async_checkpoint and not final)
 
     def restore_checkpoint(self, path: str):
         from .checkpoint import restore_into_trainer

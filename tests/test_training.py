@@ -375,3 +375,28 @@ def test_pp_with_dropout_matches_dp_stream():
                                   devices=jax.devices()[:1]))
     losses_r = [float(tr_r.train_step_once()["loss"]) for _ in range(3)]
     np.testing.assert_allclose(losses_pp, losses_r, rtol=1e-4, atol=1e-5)
+
+
+def test_async_checkpoint_snapshot_semantics(tmp_path):
+    """Async save snapshots device state BEFORE further steps: training 3
+    more steps while the writer thread runs must not change what lands on
+    disk, and the restore must equal a sync save taken at the same step."""
+    tc = TrainConfig(batch_size=16, mini_batch_size=2, ctx_len=32, lr=1e-2,
+                     token_budget=16 * 32 * 100.0, seed=0,
+                     save_dir=str(tmp_path), async_checkpoint=True)
+    tr = Trainer(MODEL, tc, batch_iter=synth_batches(16, 32, seed=31))
+    for _ in range(3):
+        tr.train_step_once()
+    params_at_save = jax.device_get(tr.params)
+    path = tr.save_checkpoint()          # async write starts
+    for _ in range(3):                   # keep training during the write
+        tr.train_step_once()
+    tr.wait_for_checkpoint()
+
+    t2 = Trainer(MODEL, tc, batch_iter=synth_batches(16, 32, seed=31))
+    t2.restore_checkpoint(path)
+    for a, b in zip(jax.tree.leaves(params_at_save),
+                    jax.tree.leaves(jax.device_get(t2.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tr.close()
+    t2.close()
