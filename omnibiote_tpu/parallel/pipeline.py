@@ -43,6 +43,7 @@ from ..config import OmniBioTAConfig, PAD_TOKEN
 from ..models.omnibiota import _block, _layer_norm
 from ..models.rope import rope_tables
 from ..training.mlm import make_mlm_mask, apply_mlm_mask, _gather_masked
+from .mesh import DATA_AXIS
 
 STAGE_AXIS = "stage"
 
@@ -86,6 +87,8 @@ def pp_mlm_loss(
     """
     M, B, T = tokens.shape
     S = int(mesh.shape[STAGE_AXIS])
+    n_data = int(dict(zip(mesh.axis_names, mesh.devices.shape))
+                 .get(DATA_AXIS, 1))
     L = cfg.n_layer
     assert L % S == 0, f"n_layer {L} must divide by {S} pipeline stages"
     Ls = L // S
@@ -129,6 +132,8 @@ def pp_mlm_loss(
     def body(blocks_local, ln_f, lm_head, x0, tokens, segments,
              mask, micro_weights, lk_data):
         s_idx = jax.lax.axis_index(STAGE_AXIS)
+        # local batch rows under dp x pp: B_l = B // n_data
+        B_l = x0.shape[1]
 
         def run_local(x, seg, mb_idx):
             for i in range(Ls):
@@ -142,6 +147,12 @@ def pp_mlm_loss(
                             lk_data, mb_idx, 0, keepdims=False),
                         gl, 0, keepdims=False)
                     key = jax.random.wrap_key_data(kd, impl=key_impl)
+                    if n_data > 1:
+                        # decorrelate in-block dropout across data shards
+                        # (the same key on each shard's row slice would
+                        # tie row i of every shard to the same mask)
+                        key = jax.random.fold_in(
+                            key, jax.lax.axis_index(DATA_AXIS))
                     ks = jax.random.split(key, 3)
                     rngs = {"attn": ks[0], "resid1": ks[1], "resid2": ks[2]}
                 x = _block(cfg, x, bp, cos, sin, seg, rngs, deterministic)
@@ -159,12 +170,15 @@ def pp_mlm_loss(
             buf_next = jax.lax.ppermute(h, STAGE_AXIS, perm)
             return buf_next, h
 
-        buf0 = jnp.zeros((B, T, cfg.n_embd), cdt)
+        buf0 = jnp.zeros((B_l, T, cfg.n_embd), cdt)
         _, outs = jax.lax.scan(tick, buf0, jnp.arange(n_ticks))
         # outs[S-1 + j] on the LAST stage is microbatch j's final hidden
         final_h = jax.lax.slice_in_dim(outs, S - 1, S - 1 + M, axis=0)
 
-        # readout + per-micro normalised CE (valid on the last stage only)
+        # readout + per-micro normalised CE (valid on the last stage only).
+        # Under dp x pp each data shard holds B/n_data rows of every micro:
+        # the per-micro masked count and nll sum reduce over 'data' BEFORE
+        # the normalisation so the semantics stay identical to pure dp.
         scale = jnp.asarray(cfg.mup_output_mult / cfg.width_mult, cdt)
         head = lm_head.astype(cdt)
         cap = max(int(T * capacity_frac), 8)
@@ -178,10 +192,14 @@ def pp_mlm_loss(
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             nll = -jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
             nll = jnp.where(valid, nll, 0.0)
-            mcount = jnp.sum(valid)
+            nll_sum = jnp.sum(nll)
+            mcount = jnp.sum(valid).astype(jnp.float32)
+            if n_data > 1:
+                nll_sum = jax.lax.psum(nll_sum, DATA_AXIS)
+                mcount = jax.lax.psum(mcount, DATA_AXIS)
             w = micro_weights[j]
-            loss_sum += w * jnp.sum(nll) / jnp.maximum(mcount, 1)
-            masked_sum += w * mcount.astype(jnp.float32)
+            loss_sum += w * nll_sum / jnp.maximum(mcount, 1)
+            masked_sum += w * mcount
 
         is_last = (s_idx == S - 1).astype(jnp.float32)
         loss_sum = jax.lax.psum(loss_sum * is_last, STAGE_AXIS)
@@ -191,9 +209,15 @@ def pp_mlm_loss(
     blocks_spec = jax.tree.map(
         lambda a: P(STAGE_AXIS, *([None] * (a.ndim - 1))), params["blocks"])
     ln_f_spec = jax.tree.map(lambda a: P(), params["ln_f"])
+    # dp x pp: rows (dim 1 of (M, B, T)) shard over 'data' when present
+    row = DATA_AXIS if n_data > 1 else None
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(blocks_spec, ln_f_spec, P(), P(), P(), P(), P(),
+        in_specs=(blocks_spec, ln_f_spec, P(),
+                  P(None, row, None, None),       # x0 (M, B, T, D)
+                  P(None, row, None),             # tokens
+                  P(None, row, None),             # segments
+                  P(None, row, None),             # mask
                   P(), P()),
         out_specs=(P(), P()),
         check_vma=False)

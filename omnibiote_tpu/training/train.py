@@ -240,10 +240,17 @@ class Trainer:
             self.mesh = mesh
         elif tc.sharding == "pp":
             import jax as _jax
-            n = (tc.mesh_shape[0] if tc.mesh_shape is not None
-                 else len(_jax.devices()))
-            self.mesh = make_mesh((n,), axis_names=("stage",),
-                                  devices=_jax.devices()[:n])
+            if tc.mesh_shape is not None and len(tc.mesh_shape) == 2:
+                # dp x pp: (data, stage)
+                n = int(np.prod(tc.mesh_shape))
+                self.mesh = make_mesh(tuple(tc.mesh_shape),
+                                      axis_names=("data", "stage"),
+                                      devices=_jax.devices()[:n])
+            else:
+                n = (tc.mesh_shape[0] if tc.mesh_shape is not None
+                     else len(_jax.devices()))
+                self.mesh = make_mesh((n,), axis_names=("stage",),
+                                      devices=_jax.devices()[:n])
         elif tc.mesh_shape is not None:
             names = ("data", "model")[:len(tc.mesh_shape)]
             self.mesh = make_mesh(tuple(tc.mesh_shape), axis_names=names)
@@ -260,12 +267,11 @@ class Trainer:
 
         # mini_batch_size is per-device (the reference's per-process micro
         # batch); one accumulation slot processes mini * n_data rows, where
-        # n_data is the DATA-parallel degree (model-axis devices split each
-        # row's compute, not the batch). In sp mode the sequence (not the
-        # batch) shards over devices; in pp mode the stages split layers —
-        # either way the micro batch is global as given.
-        self.global_micro = (tc.mini_batch_size
-                             if tc.sharding in ("sp", "pp")
+        # n_data is the DATA-parallel degree (model/stage-axis devices split
+        # each row's compute, not the batch). In sp mode the sequence (not
+        # the batch) shards over devices, so the micro batch is global as
+        # given; pp composes with dp through n_data like everything else.
+        self.global_micro = (tc.mini_batch_size if tc.sharding == "sp"
                              else tc.mini_batch_size * self.n_data)
         assert tc.batch_size % self.global_micro == 0, (
             f"batch_size {tc.batch_size} must divide by mini_batch_size *"
@@ -372,14 +378,15 @@ class Trainer:
         weights = np.zeros((A,), np.float32)
         weights[:active] = 1.0
         batch = {"tokens": tokens, "segments": segments}
-        if self.train_cfg.sharding == "pp":
-            # pipeline: microbatches are consumed tick-by-tick by every
-            # stage — the batch is replicated over the stage axis
+        if self.train_cfg.sharding == "pp" and self.n_data == 1:
+            # pure pipeline: microbatches are consumed tick-by-tick by
+            # every stage — the batch is replicated over the stage axis
             from ..parallel.mesh import replicated
             batch = {k: jax.device_put(v, replicated(self.mesh))
                      for k, v in batch.items()}
         else:
-            # dp: shard rows (dim 1); sp: shard the sequence (dim 2)
+            # dp (incl. dp x pp): shard rows (dim 1); sp: the sequence
+            # (dim 2)
             bdim = 2 if self.train_cfg.sharding == "sp" else 1
             batch = shard_batch_pytree(self.mesh, batch, batch_dim=bdim)
         return batch, jnp.asarray(weights)

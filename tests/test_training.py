@@ -400,3 +400,29 @@ def test_async_checkpoint_snapshot_semantics(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     tr.close()
     t2.close()
+
+
+def test_dp_pp_composition_matches_dp():
+    """2D (data, stage) mesh: batch rows shard over data while layers
+    pipeline over stages; per-micro CE normalisation reduces over data
+    before normalising, so losses track the pure-dp path exactly
+    (deterministic)."""
+    cfg = MODEL.replace(n_layer=4)
+    tc = TrainConfig(batch_size=8, mini_batch_size=2, ctx_len=32, lr=1e-2,
+                     token_budget=8 * 32 * 100.0, seed=0, sharding="pp",
+                     mesh_shape=(2, 2))
+    tr = Trainer(cfg, tc, batch_iter=synth_batches(8, 32, seed=41))
+    assert tuple(tr.mesh.axis_names) == ("data", "stage")
+    assert tr.global_micro == 4          # mini 2 x data 2
+
+    losses_pp = []
+    tr.run(max_steps=5, on_metrics=lambda r: losses_pp.append(r["loss"]))
+
+    tc_r = tc.replace(sharding="replicated", mesh_shape=None,
+                      mini_batch_size=4)
+    tr_r = Trainer(cfg, tc_r, batch_iter=synth_batches(8, 32, seed=41),
+                   mesh=make_mesh((1,), axis_names=("data",),
+                                  devices=jax.devices()[:1]))
+    losses_r = []
+    tr_r.run(max_steps=5, on_metrics=lambda r: losses_r.append(r["loss"]))
+    np.testing.assert_allclose(losses_pp, losses_r, rtol=1e-4, atol=1e-5)
