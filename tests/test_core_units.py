@@ -278,3 +278,29 @@ def test_int8_quantized_inference_matches_fp32():
     lref = np.asarray(obt.forward(params, cfg, toks)).ravel()
     lout = np.asarray(obt.forward(qparams, qcfg, toks)).ravel()
     assert np.corrcoef(lref, lout)[0, 1] > 0.99
+
+
+def test_int8_quantization_with_biases():
+    """bias=True model: bqkv is permuted alongside the quantized wqkv's
+    columns; other biases pass through untouched."""
+    import omnibiote_tpu as obt
+    from omnibiote_tpu.ops.quant import quantize_for_inference
+
+    cfg = obt.OmniBioTAConfig(
+        n_layer=1, n_head=2, n_embd=128, block_size=64, vocab_size=256,
+        dropout=0.0, bias=True, attn_impl="xla", compute_dtype="float32",
+        mup_base_n_embd=32)
+    params = obt.init_params(jax.random.PRNGKey(3), cfg)
+    # non-zero biases so a permutation mismatch would show
+    params["blocks"]["attn"]["bqkv"] = jax.random.normal(
+        jax.random.PRNGKey(4), params["blocks"]["attn"]["bqkv"].shape) * 0.1
+    qparams = quantize_for_inference(params, cfg)
+    qcfg = cfg.replace(qkv_prepermuted=True)
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(20, 250, size=(2, 64)).astype(np.int32))
+    ref = obt.encode(params, cfg, toks, "mean")
+    out = obt.encode(qparams, qcfg, toks, "mean")
+    rn = ref / jnp.linalg.norm(ref, axis=-1, keepdims=True)
+    on = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+    assert float(jnp.min(jnp.sum(rn * on, -1))) > 0.99
