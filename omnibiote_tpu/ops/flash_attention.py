@@ -719,21 +719,29 @@ def _mh_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
 
 
 def _mh_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
-                      *rest, scale, n_head, use_rope, dropout_rate):
+                      *rest, scale, n_head, use_rope, dropout_rate,
+                      single_kv):
     if use_rope:
-        (qcos_ref, qsin_ref, kcos_ref, ksin_ref, lse_ref, do_ref, di_ref,
-         dq_ref, dq_scr) = rest
+        qcos_ref, qsin_ref, kcos_ref, ksin_ref = rest[:4]
+        rest = rest[4:]
+    else:
+        qcos_ref = qsin_ref = kcos_ref = ksin_ref = None
+    if single_kv:
+        # one kv block covers the sequence: per-head dq writes straight to
+        # the output — no accumulator scratch round-trips
+        lse_ref, do_ref, di_ref, dq_ref = rest
+        dq_scr = None
     else:
         lse_ref, do_ref, di_ref, dq_ref, dq_scr = rest
-        qcos_ref = qsin_ref = kcos_ref = ksin_ref = None
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
     D = q_ref.shape[-1] // n_head
     half = D // 2
 
-    @pl.when(kv_idx == 0)
-    def _init():
-        dq_scr[...] = jnp.zeros_like(dq_scr)
+    if not single_kv:
+        @pl.when(kv_idx == 0)
+        def _init():
+            dq_scr[...] = jnp.zeros_like(dq_scr)
 
     mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
                           DEFAULT_MASK_VALUE)
@@ -765,20 +773,28 @@ def _mh_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
             dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
 
         ds = p * (dp - di_ref[0][:, h:h + 1]) * scale
-        dq_scr[:, sl] += jax.lax.dot(
+        dq_h = jax.lax.dot(
             ds.astype(dtype), k, preferred_element_type=jnp.float32)
-
-    @pl.when(kv_idx == n_kv - 1)
-    def _store():
-        if use_rope:
-            dq_rows = dq_scr[...]
-            for h in range(n_head):
-                sl = slice(h * D, (h + 1) * D)
-                dq_ref[0, :, sl] = _rope_rot_inv(
-                    dq_rows[:, sl], qcos_ref[...], qsin_ref[...],
-                    half).astype(dq_ref.dtype)
+        if single_kv:
+            if use_rope:
+                dq_h = _rope_rot_inv(dq_h, qcos_ref[...], qsin_ref[...],
+                                     half)
+            dq_ref[0, :, sl] = dq_h.astype(dq_ref.dtype)
         else:
-            dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+            dq_scr[:, sl] += dq_h
+
+    if not single_kv:
+        @pl.when(kv_idx == n_kv - 1)
+        def _store():
+            if use_rope:
+                dq_rows = dq_scr[...]
+                for h in range(n_head):
+                    sl = slice(h * D, (h + 1) * D)
+                    dq_ref[0, :, sl] = _rope_rot_inv(
+                        dq_rows[:, sl], qcos_ref[...], qsin_ref[...],
+                        half).astype(dq_ref.dtype)
+            else:
+                dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
 def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
@@ -896,9 +912,10 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
                          lambda b, qi, ki, *_: (b, qi, 0)),
         ]
         dq_args += [lse, do, di]
+        single_kv = Tk == block_kv
         dq_kernel = functools.partial(
             _mh_bwd_dq_kernel, scale=scale, n_head=H, use_rope=use_rope,
-            dropout_rate=dropout_rate)
+            dropout_rate=dropout_rate, single_kv=single_kv)
         dq = pl.pallas_call(
             dq_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -907,7 +924,8 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
                 in_specs=dq_specs,
                 out_specs=pl.BlockSpec((1, block_q, H * D),
                                        lambda b, qi, ki, *_: (b, qi, 0)),
-                scratch_shapes=[pltpu.VMEM((block_q, H * D), jnp.float32)],
+                scratch_shapes=[] if single_kv else [
+                    pltpu.VMEM((block_q, H * D), jnp.float32)],
             ),
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             compiler_params=pltpu.CompilerParams(
