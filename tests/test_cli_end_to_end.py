@@ -124,3 +124,32 @@ def test_cli_sharding_flag_tp(corpus_dir, tmp_path):
                     trainer.mesh.devices.shape)) == {"data": 2, "model": 4}
     assert "model" in str(
         trainer.params["blocks"]["attn"]["wqkv"].sharding.spec)
+
+
+def test_cli_pp_pipeline_train(corpus_dir, tmp_path):
+    """--sharding pp from the CLI: 2 pipelined steps on a (2,)-stage mesh
+    with layer slices sharded per stage, metrics finite."""
+    from omnibiote_tpu.training.cli import main
+
+    metrics_path = str(tmp_path / "metrics_pp.jsonl")
+    argv = [
+        "--base_dir", corpus_dir, "--train_type", "mixed",
+        "--banned_token", "65533",
+        "--batch_size", "8", "--mini_batch_size", "4",
+        "--n_layer", "2", "--n_head", "2", "--n_embd", "32",
+        "--ctx_len", "64", "--dropout", "0.0",
+        "--token_budget", str(8 * 64 * 40.0),
+        "--test_freq", str(8 * 64 * 1000.0),
+        "--save_freq", str(8 * 64 * 1000.0),
+        "--save_dir", str(tmp_path / "ckpt_pp"), "--save_name", "p",
+        "--max_steps", "2", "--log_every", "1",
+        "--metrics_jsonl", metrics_path,
+        "--disable_flash", "--sharding", "pp", "--mesh_shape", "2",
+    ]
+    trainer = main(argv)
+    assert tuple(trainer.mesh.axis_names) == ("stage",)
+    assert not trainer.params["blocks"]["attn"]["wqkv"] \
+        .sharding.is_fully_replicated
+    recs = [json.loads(l) for l in open(metrics_path)]
+    losses = [r["loss"] for r in recs if "loss" in r]
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
