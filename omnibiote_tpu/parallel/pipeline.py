@@ -26,10 +26,11 @@ training/train.py); per-microbatch losses are normalised by their own
 masked counts and weighted by the batch-ramp activity weights, matching
 the reference's accumulation normalisation (train_encoder.py:301-305).
 
-Known v1 inefficiency: every stage runs the (compacted) readout+CE on its
-tick outputs and all but the last stage's are discarded via a where-mask —
-wasted FLOPs bounded by the compacted head cost; the schedule itself is
-the standard one.
+Head balance: when M % S == 0, the last stage's final hiddens broadcast
+once over the stage ring (a psum of the is_last-masked tree) and stage s
+computes the CE of its own M/S microbatch group — the readout is spread
+across the pipeline instead of being replicated on every stage (the
+uneven-M fallback keeps the replicate-and-mask form).
 """
 from __future__ import annotations
 
@@ -175,35 +176,63 @@ def pp_mlm_loss(
         # outs[S-1 + j] on the LAST stage is microbatch j's final hidden
         final_h = jax.lax.slice_in_dim(outs, S - 1, S - 1 + M, axis=0)
 
-        # readout + per-micro normalised CE (valid on the last stage only).
-        # Under dp x pp each data shard holds B/n_data rows of every micro:
-        # the per-micro masked count and nll sum reduce over 'data' BEFORE
-        # the normalisation so the semantics stay identical to pure dp.
+        # Readout + per-micro normalised CE. Under dp x pp each data shard
+        # holds B/n_data rows of every micro: the per-micro masked count
+        # and nll sum reduce over 'data' BEFORE normalising, keeping the
+        # semantics identical to pure dp.
         scale = jnp.asarray(cfg.mup_output_mult / cfg.width_mult, cdt)
         head = lm_head.astype(cdt)
         cap = max(int(T * capacity_frac), 8)
-        loss_sum = jnp.float32(0)
-        masked_sum = jnp.float32(0)
-        for j in range(M):
-            emb = _layer_norm(final_h[j], ln_f)
-            g_emb, labels, valid = _gather_masked(emb, tokens[j], mask[j],
-                                                  cap)
+        is_last_f = (s_idx == S - 1).astype(cdt)
+
+        def micro_ce(emb_j, tok_j, mask_j):
+            emb = _layer_norm(emb_j, ln_f)
+            g_emb, labels, valid = _gather_masked(emb, tok_j, mask_j, cap)
             logits = (g_emb * scale) @ head
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             nll = -jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
-            nll = jnp.where(valid, nll, 0.0)
-            nll_sum = jnp.sum(nll)
+            nll_sum = jnp.sum(jnp.where(valid, nll, 0.0))
             mcount = jnp.sum(valid).astype(jnp.float32)
             if n_data > 1:
                 nll_sum = jax.lax.psum(nll_sum, DATA_AXIS)
                 mcount = jax.lax.psum(mcount, DATA_AXIS)
-            w = micro_weights[j]
-            loss_sum += w * nll_sum / jnp.maximum(mcount, 1)
-            masked_sum += w * mcount
+            return nll_sum, mcount
 
-        is_last = (s_idx == S - 1).astype(jnp.float32)
-        loss_sum = jax.lax.psum(loss_sum * is_last, STAGE_AXIS)
-        masked_sum = jax.lax.psum(masked_sum * is_last, STAGE_AXIS)
+        loss_sum = jnp.float32(0)
+        masked_sum = jnp.float32(0)
+        if M % S == 0:
+            # Head balance: only the last stage holds valid final hiddens,
+            # so broadcast them once (psum of the masked tree rides the
+            # stage ring) and let stage s compute the CE of its M/S
+            # microbatch group — the readout leaves the critical path's
+            # last stage instead of being wastefully replicated S times.
+            G = M // S
+            final_all = jax.lax.psum(final_h * is_last_f, STAGE_AXIS)
+            for g in range(G):
+                j = s_idx * G + g          # this stage's microbatch index
+                emb_j = jax.lax.dynamic_index_in_dim(final_all, j, 0,
+                                                     keepdims=False)
+                tok_j = jax.lax.dynamic_index_in_dim(tokens, j, 0,
+                                                     keepdims=False)
+                mask_j = jax.lax.dynamic_index_in_dim(mask, j, 0,
+                                                      keepdims=False)
+                w = jax.lax.dynamic_index_in_dim(micro_weights, j, 0,
+                                                 keepdims=False)
+                nll_sum, mcount = micro_ce(emb_j, tok_j, mask_j)
+                loss_sum += w * nll_sum / jnp.maximum(mcount, 1)
+                masked_sum += w * mcount
+            # stages hold disjoint groups: a plain psum combines them
+            loss_sum = jax.lax.psum(loss_sum, STAGE_AXIS)
+            masked_sum = jax.lax.psum(masked_sum, STAGE_AXIS)
+        else:
+            for j in range(M):
+                nll_sum, mcount = micro_ce(final_h[j], tokens[j], mask[j])
+                w = micro_weights[j]
+                loss_sum += w * nll_sum / jnp.maximum(mcount, 1)
+                masked_sum += w * mcount
+            is_last = (s_idx == S - 1).astype(jnp.float32)
+            loss_sum = jax.lax.psum(loss_sum * is_last, STAGE_AXIS)
+            masked_sum = jax.lax.psum(masked_sum * is_last, STAGE_AXIS)
         return loss_sum, masked_sum
 
     blocks_spec = jax.tree.map(
