@@ -37,3 +37,22 @@ def test_encoder_api(ckpt):
     a = enc.encode_sequences([seqs[0]], method="first")
     b = enc.encode_sequences(seqs, method="first")[:1]
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_encoder_quantized_serving(ckpt):
+    """Encoder(quantize=True): the int8 serving conversion plugs into the
+    strings-in/embeddings-out path and stays within quantisation noise of
+    the bf16/fp32 encoder."""
+    from omnibiote_tpu.api import Encoder
+
+    enc = Encoder.from_checkpoint(ckpt, tokenizer="mixed")
+    enc_q = Encoder.from_checkpoint(ckpt, tokenizer="mixed", quantize=True)
+    assert enc_q.cfg.qkv_prepermuted
+
+    seqs = ["<DNA>ACGTACGTAGGCT", "<protein>MKVLAAGIWQRST",
+            "<DNA>" + "ACGT" * 40]
+    a = enc.encode_sequences(seqs, method="mean", batch_size=2)
+    b = enc_q.encode_sequences(seqs, method="mean", batch_size=2)
+    an = a / np.linalg.norm(a, axis=-1, keepdims=True)
+    bn = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    assert float(np.min(np.sum(an * bn, -1))) > 0.99
