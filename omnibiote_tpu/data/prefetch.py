@@ -90,6 +90,13 @@ class DevicePrefetcher:
         except queue.Empty:
             pass
         self._thread.join(timeout=join_timeout)
+        if self._thread.is_alive():
+            import warnings
+            warnings.warn(
+                "DevicePrefetcher worker still alive after "
+                f"{join_timeout}s join — wedged in batch assembly or "
+                "device_put; it may abort interpreter shutdown",
+                RuntimeWarning)
 
     def __enter__(self):
         return self

@@ -1134,6 +1134,11 @@ def _flash_mh_apply(q, k, v, seg, seed, scale, block_q, block_kv,
         cos, sin = rope
         cos2 = jnp.concatenate([cos[:T], cos[:T]], axis=1).astype(jnp.float32)
         sin2 = jnp.concatenate([sin[:T], sin[:T]], axis=1).astype(jnp.float32)
+        # The VJP returns zero cotangents for the tables (they are position
+        # constants); block differentiation so that contract can never
+        # silently yield wrong grads if a caller differentiates w.r.t. them.
+        cos2 = jax.lax.stop_gradient(cos2)
+        sin2 = jax.lax.stop_gradient(sin2)
     else:
         cos2 = sin2 = jnp.zeros((1, 1), jnp.float32)
     return _flash_mh(q, k, v, seg, seg, cos2, sin2, seed, scale,

@@ -188,9 +188,18 @@ def pp_mlm_loss(
         def micro_ce(emb_j, tok_j, mask_j):
             emb = _layer_norm(emb_j, ln_f)
             g_emb, labels, valid = _gather_masked(emb, tok_j, mask_j, cap)
-            logits = (g_emb * scale) @ head
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+            if cfg.fused_ce:
+                # same memory protection as mlm_loss: never materialise the
+                # (cap, V) fp32 logits (ADVICE r2: pp previously ignored it)
+                from ..ops.fused_ce import fused_cross_entropy, pick_chunks
+                nll = fused_cross_entropy(g_emb * scale, head, labels,
+                                          pick_chunks(cfg.vocab_size))
+            else:
+                logits = (g_emb * scale) @ head
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32),
+                                          axis=-1)
+                nll = -jnp.take_along_axis(logp, labels[..., None],
+                                           -1)[..., 0]
             nll_sum = jnp.sum(jnp.where(valid, nll, 0.0))
             mcount = jnp.sum(valid).astype(jnp.float32)
             if n_data > 1:

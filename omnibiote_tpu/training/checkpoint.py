@@ -84,6 +84,10 @@ def save_checkpoint(trainer, final: bool = False,
     if prev_thread is not None:
         prev_thread.join()
         trainer._ckpt_thread = None
+        exc = getattr(prev_thread, "exc", None)
+        if exc is not None:
+            raise RuntimeError(
+                "previous async checkpoint write failed") from exc
 
     tc = trainer.train_cfg
     tokens = int(trainer.trained_tokens)
@@ -127,12 +131,25 @@ def save_checkpoint(trainer, final: bool = False,
 
     if async_save:
         import threading
-        t = threading.Thread(target=_write, daemon=True)
+
+        # _last_ckpt_path advances only after the rename lands: a failed or
+        # interpreter-killed write must not be recorded as the latest
+        # checkpoint (nor feed the next save's rotation). The exception is
+        # stored on the thread and re-raised at the next join point.
+        def _runner():
+            try:
+                _write()
+                trainer._last_ckpt_path = path
+            except BaseException as e:
+                t.exc = e
+
+        t = threading.Thread(target=_runner, daemon=True)
+        t.exc = None
         t.start()
         trainer._ckpt_thread = t
     else:
         _write()
-    trainer._last_ckpt_path = path
+        trainer._last_ckpt_path = path
     return path
 
 

@@ -425,11 +425,15 @@ class Trainer:
         self.wait_for_checkpoint()
 
     def wait_for_checkpoint(self):
-        """Block until the last async checkpoint write (if any) completes."""
+        """Block until the last async checkpoint write (if any) completes.
+        Re-raises any exception the background writer captured."""
         t = getattr(self, "_ckpt_thread", None)
         if t is not None:
             t.join()
             self._ckpt_thread = None
+            exc = getattr(t, "exc", None)
+            if exc is not None:
+                raise RuntimeError("async checkpoint write failed") from exc
 
     def __enter__(self):
         return self
@@ -484,6 +488,7 @@ class Trainer:
         tok_dev = None          # device-side token accumulator (no host sync)
         last_fetch_t = time.time()
         last_fetch_tok = self.trained_tokens
+        first_step = True
         while self.step < end_step:
             t0 = time.time()
             step_idx = self.step
@@ -493,7 +498,7 @@ class Trainer:
             # Host syncs are expensive (especially through remote TPU
             # relays): fetch metric values only every log_every steps; the
             # token count accumulates on device in between.
-            fetch = (step_idx % tc.log_every == 0 or
+            fetch = (first_step or step_idx % tc.log_every == 0 or
                      self.step >= end_step)
             if fetch:
                 loss = float(metrics["loss"])
@@ -515,6 +520,14 @@ class Trainer:
                     "step_time_s": now - t0,
                     "grad_norm": float(metrics["grad_norm"]),
                 }
+                if first_step:
+                    # the first step's wall time is dominated by XLA
+                    # compilation — report it separately and keep it out of
+                    # the throughput window, so the first real
+                    # tokens_per_sec/mfu record reflects steady state
+                    first_step = False
+                    rec["compile_time_s"] = now - t0
+                    del rec["tokens_per_sec"], rec["mfu"], rec["efficiency"]
                 last_fetch_t = now
                 last_fetch_tok = self.trained_tokens
                 if self.metrics_sink is not None:
