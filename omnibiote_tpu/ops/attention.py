@@ -137,6 +137,11 @@ def attention(
         except ImportError:
             flash_attention = None
         if flash_attention is not None:
+            if segment_ids is not None and T >= 4096:
+                # long packed sequences: smaller kv blocks expose more
+                # fully-masked tiles to the segment-skip pruning (measured
+                # faster than 1024-blocks from T=4096 up)
+                block_kv = min(block_kv, 512)
             return flash_attention(
                 q, k, v, segment_ids=segment_ids, scale=scale,
                 dropout_rate=dropout_rate, dropout_rng=dropout_rng,

@@ -460,6 +460,33 @@ def _rope_rot_inv(x, cosf, sinf, half):
 LOG2E = 1.4426950408889634
 
 
+def _seg_block_bounds(a_seg, b_seg, block_a, block_b):
+    """Per-(batch, a-block) index range of b-blocks that may be visible.
+
+    A (a-block, b-block) tile is fully masked whenever the blocks' segment-id
+    ranges are disjoint (qseg == kseg needs a shared id; packed rows carry
+    consecutive ids, so range intersection is exact, and for any id layout
+    disjoint ranges are a SAFE sufficient condition to skip). Returns
+    (lo, hi) int32 (B, nA); an empty intersection falls back to (0, 0) — one
+    masked tile, which the kernels already handle (p underflows to 0).
+    O(T) reduces + O(nA·nB) compares per call, negligible vs the kernel.
+    """
+    B, Ta = a_seg.shape
+    Tb = b_seg.shape[1]
+    na, nb = Ta // block_a, Tb // block_b
+    ar = a_seg.reshape(B, na, block_a).astype(jnp.int32)
+    br = b_seg.reshape(B, nb, block_b).astype(jnp.int32)
+    amin, amax = ar.min(-1), ar.max(-1)              # (B, na)
+    bmin, bmax = br.min(-1), br.max(-1)              # (B, nb)
+    inter = ((bmin[:, None, :] <= amax[:, :, None]) &
+             (bmax[:, None, :] >= amin[:, :, None]))  # (B, na, nb)
+    any_ = inter.any(-1)
+    lo = jnp.where(any_, jnp.argmax(inter, -1), 0).astype(jnp.int32)
+    hi = jnp.where(any_, nb - 1 - jnp.argmax(inter[:, :, ::-1], -1),
+                   0).astype(jnp.int32)
+    return lo, hi
+
+
 def _mh_scores(qrows, krows, h, D, half, mask_bias, scale,
                qcos_ref, qsin_ref, kcos_ref, ksin_ref, use_rope):
     """One head's masked scores in log2 space: s2 = (q·kᵀ)·(scale·log2e) +
@@ -479,8 +506,15 @@ def _mh_scores(qrows, krows, h, D, half, mask_bias, scale,
     return s * (scale * LOG2E) + mask_bias
 
 
-def _mh_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
-                   *rest, scale, n_head, use_rope, dropout_rate, single_kv):
+def _mh_fwd_kernel(seed_ref, *refs, scale, n_head, use_rope, dropout_rate,
+                   single_kv, use_bounds):
+    if use_bounds:
+        lo_ref, hi_ref = refs[:2]
+        refs = refs[2:]
+    else:
+        lo_ref = hi_ref = None
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref = refs[:5]
+    rest = refs[5:]
     if use_rope:
         qcos_ref, qsin_ref, kcos_ref, ksin_ref = rest[:4]
         rest = rest[4:]
@@ -503,17 +537,15 @@ def _mh_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # additive mask in log2 space, computed ONCE per tile (shared by heads)
-    mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
-                          DEFAULT_MASK_VALUE)        # (block_q, block_kv)
-    qrows = q_ref[0]                                 # (block_q, H*D)
-    krows = k_ref[0]                                 # (block_kv, H*D)
-    vrows = v_ref[0]
-    dtype = qrows.dtype
-
     if single_kv:
         # One kv block covers the whole sequence: no online-softmax state,
         # no accumulator scratch — each head normalises and stores directly.
+        mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
+                              DEFAULT_MASK_VALUE)    # (block_q, block_kv)
+        qrows = q_ref[0]                             # (block_q, H*D)
+        krows = k_ref[0]                             # (block_kv, H*D)
+        vrows = v_ref[0]
+        dtype = qrows.dtype
         lse_cols = []
         for h in range(n_head):
             sl = slice(h * D, (h + 1) * D)
@@ -536,30 +568,50 @@ def _mh_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
         lse_ref[0] = jnp.concatenate(lse_cols, axis=1)
         return
 
-    for h in range(n_head):
-        sl = slice(h * D, (h + 1) * D)
-        s2 = _mh_scores(qrows, krows, h, D, half, mask_bias, scale,
-                        qcos_ref, qsin_ref, kcos_ref, ksin_ref, use_rope)
+    def _compute():
+        # additive mask in log2 space, computed ONCE per tile (all heads)
+        mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
+                              DEFAULT_MASK_VALUE)    # (block_q, block_kv)
+        qrows = q_ref[0]                             # (block_q, H*D)
+        krows = k_ref[0]                             # (block_kv, H*D)
+        vrows = v_ref[0]
+        dtype = qrows.dtype
+        for h in range(n_head):
+            sl = slice(h * D, (h + 1) * D)
+            s2 = _mh_scores(qrows, krows, h, D, half, mask_bias, scale,
+                            qcos_ref, qsin_ref, kcos_ref, ksin_ref, use_rope)
 
-        m_prev = m_scr[:, h:h + 1]
-        l_prev = l_scr[:, h:h + 1]
-        m_curr = jnp.max(s2, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s2 - m_next)
-        l_scr[:, h:h + 1] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[:, h:h + 1] = m_next
+            m_prev = m_scr[:, h:h + 1]
+            l_prev = l_scr[:, h:h + 1]
+            m_curr = jnp.max(s2, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s2 - m_next)
+            l_scr[:, h:h + 1] = alpha * l_prev + jnp.sum(p, axis=1,
+                                                         keepdims=True)
+            m_scr[:, h:h + 1] = m_next
 
-        if dropout_rate > 0.0:
-            b, qi = pl.program_id(0), pl.program_id(1)
-            nq = pl.num_programs(1)
-            unique = ((b * n_head + h) * nq + qi) * n_kv + kv_idx
-            keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0], unique)
-            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+            if dropout_rate > 0.0:
+                b, qi = pl.program_id(0), pl.program_id(1)
+                nq = pl.num_programs(1)
+                unique = ((b * n_head + h) * nq + qi) * n_kv + kv_idx
+                keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0],
+                                     unique)
+                p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
 
-        acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot(
-            p.astype(dtype), vrows[:, sl],
-            preferred_element_type=jnp.float32)
+            acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot(
+                p.astype(dtype), vrows[:, sl],
+                preferred_element_type=jnp.float32)
+
+    if use_bounds:
+        # Segment-aware tile skipping: kv blocks outside [lo, hi] are fully
+        # masked for this (batch, q-block) — their index maps alias the
+        # clamped in-range block (no DMA) and the compute is skipped.
+        b_i, q_i = pl.program_id(0), pl.program_id(1)
+        pl.when((kv_idx >= lo_ref[b_i, q_i]) &
+                (kv_idx <= hi_ref[b_i, q_i]))(_compute)
+    else:
+        _compute()
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
@@ -567,19 +619,32 @@ def _mh_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
         l_inv = jnp.where(l_fin == 0.0, 0.0, 1.0 / l_fin)
         m_fin = m_scr[...]
         # lse residual in LOG2 space (the backward recomputes p as
-        # exp2(s2 - lse2))
-        lse_ref[0] = m_fin + jnp.log2(jnp.where(l_fin == 0.0, 1.0, l_fin))
+        # exp2(s2 - lse2)). Rows whose every tile was skipped (possible only
+        # under use_bounds, e.g. a ring rotation whose kv shard is entirely
+        # invisible) have l == 0 and m == -inf; store a FINITE sentinel
+        # instead: far below any real lse (zero weight in any downstream
+        # lse-combine) yet close enough to the -2.4e38 mask bias that the
+        # backward's exp2(s2 - lse) underflows to exactly 0 — -inf here
+        # would turn that into exp2(+inf) = NaN in the fallback tile.
+        empty = jnp.float32(-1e38)
+        lse_ref[0] = jnp.where(
+            l_fin == 0.0, empty, m_fin + jnp.log2(
+                jnp.where(l_fin == 0.0, 1.0, l_fin)))
         o = acc_scr[...].reshape(acc_scr.shape[0], n_head, D)
         o = o * l_inv[:, :, None]
         o_ref[0] = o.reshape(acc_scr.shape).astype(o_ref.dtype)
 
 
 def _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, *, scale, block_q,
-            block_kv, dropout_rate, use_rope):
+            block_kv, dropout_rate, use_rope, use_skip=False):
     """Returns (o (B,T,H,D), lse (B,Tq,H))."""
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
     grid = (B, Tq // block_q, Tk // block_kv)
+    single_kv = Tk == block_kv
+    use_bounds = bool(use_skip) and not single_kv
+    if use_bounds:
+        kv_lo, kv_hi = _seg_block_bounds(q_seg, kv_seg, block_q, block_kv)
     q = q.reshape(B, Tq, H * D)
     k = k.reshape(B, Tk, H * D)
     v = v.reshape(B, Tk, H * D)
@@ -588,40 +653,58 @@ def _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, *, scale, block_q,
     seed_arr = jnp.asarray([seed], jnp.int32) if jnp.ndim(seed) == 0 \
         else seed.astype(jnp.int32).reshape(1)
 
-    single_kv = Tk == block_kv
     kernel = functools.partial(
         _mh_fwd_kernel, scale=scale, n_head=H, use_rope=use_rope,
-        dropout_rate=dropout_rate, single_kv=single_kv)
+        dropout_rate=dropout_rate, single_kv=single_kv,
+        use_bounds=use_bounds)
     out_shape = [
         jax.ShapeDtypeStruct((B, Tq, H * D), q.dtype),
         jax.ShapeDtypeStruct((B, Tq, H), jnp.float32),
     ]
+    if use_bounds:
+        # kv-indexed operands clamp into [lo, hi]: out-of-range grid steps
+        # alias an in-range block (same index -> Pallas skips the DMA)
+        def kv_map(b, qi, ki, sd, lo, hi):
+            c = jnp.clip(ki, lo[b, qi], hi[b, qi])
+            return (b, c, 0)
+
+        def kseg_map(b, qi, ki, sd, lo, hi):
+            c = jnp.clip(ki, lo[b, qi], hi[b, qi])
+            return (b, 0, c)
+
+        def kcos_map(b, qi, ki, sd, lo, hi):
+            c = jnp.clip(ki, lo[b, qi], hi[b, qi])
+            return (c, 0)
+    else:
+        kv_map = lambda b, qi, ki, *_: (b, ki, 0)
+        kseg_map = lambda b, qi, ki, *_: (b, 0, ki)
+        kcos_map = lambda b, qi, ki, *_: (ki, 0)
     in_specs = [
         pl.BlockSpec((1, block_q, H * D),
                      lambda b, qi, ki, *_: (b, qi, 0)),
-        pl.BlockSpec((1, block_kv, H * D),
-                     lambda b, qi, ki, *_: (b, ki, 0)),
-        pl.BlockSpec((1, block_kv, H * D),
-                     lambda b, qi, ki, *_: (b, ki, 0)),
+        pl.BlockSpec((1, block_kv, H * D), kv_map),
+        pl.BlockSpec((1, block_kv, H * D), kv_map),
         pl.BlockSpec((1, block_q, 1),
                      lambda b, qi, ki, *_: (b, qi, 0)),
-        pl.BlockSpec((1, 1, block_kv),
-                     lambda b, qi, ki, *_: (b, 0, ki)),
+        pl.BlockSpec((1, 1, block_kv), kseg_map),
     ]
-    args = [seed_arr, q, k, v, qseg2, kseg2]
+    args = [seed_arr]
+    if use_bounds:
+        args += [kv_lo, kv_hi]
+    args += [q, k, v, qseg2, kseg2]
     if use_rope:
         in_specs += [
             pl.BlockSpec((block_q, D), lambda b, qi, ki, *_: (qi, 0)),
             pl.BlockSpec((block_q, D), lambda b, qi, ki, *_: (qi, 0)),
-            pl.BlockSpec((block_kv, D), lambda b, qi, ki, *_: (ki, 0)),
-            pl.BlockSpec((block_kv, D), lambda b, qi, ki, *_: (ki, 0)),
+            pl.BlockSpec((block_kv, D), kcos_map),
+            pl.BlockSpec((block_kv, D), kcos_map),
         ]
         args += [cos2, sin2, cos2, sin2]
     with _interpret_ctx():
         o, lse = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=3 if use_bounds else 1,
                 grid=grid,
                 in_specs=in_specs,
                 out_specs=[
@@ -644,8 +727,15 @@ def _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, *, scale, block_q,
     return o.reshape(B, Tq, H, D), lse
 
 
-def _mh_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
-                       *rest, scale, n_head, use_rope, dropout_rate):
+def _mh_bwd_dkv_kernel(seed_ref, *refs, scale, n_head, use_rope,
+                       dropout_rate, use_bounds):
+    if use_bounds:
+        lo_ref, hi_ref = refs[:2]
+        refs = refs[2:]
+    else:
+        lo_ref = hi_ref = None
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref = refs[:5]
+    rest = refs[5:]
     if use_rope:
         (qcos_ref, qsin_ref, kcos_ref, ksin_ref, lse_ref, do_ref, di_ref,
          dk_ref, dv_ref, dk_scr, dv_scr) = rest
@@ -662,47 +752,59 @@ def _mh_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
-                          DEFAULT_MASK_VALUE)        # (block_q, block_kv)
-    qrows, krows, vrows, dorows = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    dtype = qrows.dtype
+    def _compute():
+        mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
+                              DEFAULT_MASK_VALUE)    # (block_q, block_kv)
+        qrows, krows, vrows, dorows = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        dtype = qrows.dtype
 
-    for h in range(n_head):
-        sl = slice(h * D, (h + 1) * D)
-        q = qrows[:, sl]
-        k = krows[:, sl]
-        if use_rope:
-            q = _rope_rot(q, qcos_ref[...], qsin_ref[...], half).astype(dtype)
-            k = _rope_rot(k, kcos_ref[...], ksin_ref[...], half).astype(dtype)
-        s2 = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (scale * LOG2E) + mask_bias
-        p = jnp.exp2(s2 - lse_ref[0][:, h:h + 1])    # lse is log2-space
+        for h in range(n_head):
+            sl = slice(h * D, (h + 1) * D)
+            q = qrows[:, sl]
+            k = krows[:, sl]
+            if use_rope:
+                q = _rope_rot(q, qcos_ref[...], qsin_ref[...],
+                              half).astype(dtype)
+                k = _rope_rot(k, kcos_ref[...], ksin_ref[...],
+                              half).astype(dtype)
+            s2 = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E) \
+                + mask_bias
+            p = jnp.exp2(s2 - lse_ref[0][:, h:h + 1])   # lse is log2-space
 
-        do = dorows[:, sl]
-        dp = jax.lax.dot_general(
-            do, vrows[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            do = dorows[:, sl]
+            dp = jax.lax.dot_general(
+                do, vrows[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-        if dropout_rate > 0.0:
-            b, kv_i = pl.program_id(0), pl.program_id(1)
-            n_kv = pl.num_programs(1)
-            unique = ((b * n_head + h) * n_q + q_idx) * n_kv + kv_i
-            keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0], unique)
-            inv = 1.0 / (1.0 - dropout_rate)
-            p_drop = jnp.where(keep, p * inv, 0.0)
-            dp = jnp.where(keep, dp * inv, 0.0)
-        else:
-            p_drop = p
+            if dropout_rate > 0.0:
+                b, kv_i = pl.program_id(0), pl.program_id(1)
+                n_kv = pl.num_programs(1)
+                unique = ((b * n_head + h) * n_q + q_idx) * n_kv + kv_i
+                keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0],
+                                     unique)
+                inv = 1.0 / (1.0 - dropout_rate)
+                p_drop = jnp.where(keep, p * inv, 0.0)
+                dp = jnp.where(keep, dp * inv, 0.0)
+            else:
+                p_drop = p
 
-        dv_scr[:, sl] += jax.lax.dot_general(
-            p_drop.astype(dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        di = di_ref[0][:, h:h + 1]
-        ds = p * (dp - di) * scale
-        dk_scr[:, sl] += jax.lax.dot_general(
-            ds.astype(dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            dv_scr[:, sl] += jax.lax.dot_general(
+                p_drop.astype(dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            di = di_ref[0][:, h:h + 1]
+            ds = p * (dp - di) * scale
+            dk_scr[:, sl] += jax.lax.dot_general(
+                ds.astype(dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    if use_bounds:
+        b_i, kv_i = pl.program_id(0), pl.program_id(1)
+        pl.when((q_idx >= lo_ref[b_i, kv_i]) &
+                (q_idx <= hi_ref[b_i, kv_i]))(_compute)
+    else:
+        _compute()
 
     @pl.when(q_idx == n_q - 1)
     def _store():
@@ -718,9 +820,15 @@ def _mh_bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _mh_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
-                      *rest, scale, n_head, use_rope, dropout_rate,
-                      single_kv):
+def _mh_bwd_dq_kernel(seed_ref, *refs, scale, n_head, use_rope, dropout_rate,
+                      single_kv, use_bounds):
+    if use_bounds:
+        lo_ref, hi_ref = refs[:2]
+        refs = refs[2:]
+    else:
+        lo_ref = hi_ref = None
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref = refs[:5]
+    rest = refs[5:]
     if use_rope:
         qcos_ref, qsin_ref, kcos_ref, ksin_ref = rest[:4]
         rest = rest[4:]
@@ -743,45 +851,57 @@ def _mh_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
         def _init():
             dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
-                          DEFAULT_MASK_VALUE)
-    qrows, krows, vrows, dorows = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    dtype = qrows.dtype
+    def _compute():
+        mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
+                              DEFAULT_MASK_VALUE)
+        qrows, krows, vrows, dorows = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        dtype = qrows.dtype
 
-    for h in range(n_head):
-        sl = slice(h * D, (h + 1) * D)
-        q = qrows[:, sl]
-        k = krows[:, sl]
-        if use_rope:
-            q = _rope_rot(q, qcos_ref[...], qsin_ref[...], half).astype(dtype)
-            k = _rope_rot(k, kcos_ref[...], ksin_ref[...], half).astype(dtype)
-        s2 = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (scale * LOG2E) + mask_bias
-        p = jnp.exp2(s2 - lse_ref[0][:, h:h + 1])    # lse is log2-space
-
-        do = dorows[:, sl]
-        dp = jax.lax.dot_general(
-            do, vrows[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-        if dropout_rate > 0.0:
-            b, q_i = pl.program_id(0), pl.program_id(1)
-            nq = pl.num_programs(1)
-            unique = ((b * n_head + h) * nq + q_i) * n_kv + kv_idx
-            keep = _dropout_keep(dp.shape, dropout_rate, seed_ref[0], unique)
-            dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
-
-        ds = p * (dp - di_ref[0][:, h:h + 1]) * scale
-        dq_h = jax.lax.dot(
-            ds.astype(dtype), k, preferred_element_type=jnp.float32)
-        if single_kv:
+        for h in range(n_head):
+            sl = slice(h * D, (h + 1) * D)
+            q = qrows[:, sl]
+            k = krows[:, sl]
             if use_rope:
-                dq_h = _rope_rot_inv(dq_h, qcos_ref[...], qsin_ref[...],
-                                     half)
-            dq_ref[0, :, sl] = dq_h.astype(dq_ref.dtype)
-        else:
-            dq_scr[:, sl] += dq_h
+                q = _rope_rot(q, qcos_ref[...], qsin_ref[...],
+                              half).astype(dtype)
+                k = _rope_rot(k, kcos_ref[...], ksin_ref[...],
+                              half).astype(dtype)
+            s2 = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E) \
+                + mask_bias
+            p = jnp.exp2(s2 - lse_ref[0][:, h:h + 1])   # lse is log2-space
+
+            do = dorows[:, sl]
+            dp = jax.lax.dot_general(
+                do, vrows[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            if dropout_rate > 0.0:
+                b, q_i = pl.program_id(0), pl.program_id(1)
+                nq = pl.num_programs(1)
+                unique = ((b * n_head + h) * nq + q_i) * n_kv + kv_idx
+                keep = _dropout_keep(dp.shape, dropout_rate, seed_ref[0],
+                                     unique)
+                dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
+
+            ds = p * (dp - di_ref[0][:, h:h + 1]) * scale
+            dq_h = jax.lax.dot(
+                ds.astype(dtype), k, preferred_element_type=jnp.float32)
+            if single_kv:
+                if use_rope:
+                    dq_h = _rope_rot_inv(dq_h, qcos_ref[...], qsin_ref[...],
+                                         half)
+                dq_ref[0, :, sl] = dq_h.astype(dq_ref.dtype)
+            else:
+                dq_scr[:, sl] += dq_h
+
+    if use_bounds:
+        b_i, q_i = pl.program_id(0), pl.program_id(1)
+        pl.when((kv_idx >= lo_ref[b_i, q_i]) &
+                (kv_idx <= hi_ref[b_i, q_i]))(_compute)
+    else:
+        _compute()
 
     if not single_kv:
         @pl.when(kv_idx == n_kv - 1)
@@ -798,7 +918,7 @@ def _mh_bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
 
 
 def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
-            dlse=None):
+            dlse=None, use_skip=False):
     """Shared backward. dlse (B, Tq, H), natural-log space: cotangent of
     the lse output for the lse-exposing variant (_flash_mh_lse). It folds
     into the existing kernels with zero kernel changes: the kernels compute
@@ -808,6 +928,14 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
     do = g
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
+    single_kv = Tk == block_kv
+    dkv_bounds = bool(use_skip) and Tq != block_q
+    dq_bounds = bool(use_skip) and not single_kv
+    if dkv_bounds:
+        # per-(b, kv-block): visible q-block range (dkv reduces over q)
+        q_lo, q_hi = _seg_block_bounds(kv_seg, q_seg, block_kv, block_q)
+    if dq_bounds:
+        kv_lo, kv_hi = _seg_block_bounds(q_seg, kv_seg, block_q, block_kv)
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
                  axis=-1)                          # (B, Tq, H)
@@ -822,44 +950,56 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
     seed_arr = jnp.asarray([seed], jnp.int32) if jnp.ndim(seed) == 0 \
         else seed.astype(jnp.int32).reshape(1)
 
+    if dkv_bounds:
+        # q-indexed operands clamp into this kv block's visible q range
+        def q_map(b, ki, qi, sd, lo, hi):
+            return (b, jnp.clip(qi, lo[b, ki], hi[b, ki]), 0)
+
+        def qseg_map(b, ki, qi, sd, lo, hi):
+            return (b, jnp.clip(qi, lo[b, ki], hi[b, ki]), 0)
+
+        def qcos_map(b, ki, qi, sd, lo, hi):
+            return (jnp.clip(qi, lo[b, ki], hi[b, ki]), 0)
+    else:
+        q_map = lambda b, ki, qi, *_: (b, qi, 0)
+        qseg_map = lambda b, ki, qi, *_: (b, qi, 0)
+        qcos_map = lambda b, i, j, *_: (j, 0)
     dkv_specs = [
-        pl.BlockSpec((1, block_q, H * D),
-                     lambda b, ki, qi, *_: (b, qi, 0)),
+        pl.BlockSpec((1, block_q, H * D), q_map),
         pl.BlockSpec((1, block_kv, H * D),
                      lambda b, ki, qi, *_: (b, ki, 0)),
         pl.BlockSpec((1, block_kv, H * D),
                      lambda b, ki, qi, *_: (b, ki, 0)),
-        pl.BlockSpec((1, block_q, 1),
-                     lambda b, ki, qi, *_: (b, qi, 0)),
+        pl.BlockSpec((1, block_q, 1), qseg_map),
         pl.BlockSpec((1, 1, block_kv),
                      lambda b, ki, qi, *_: (b, 0, ki)),
     ]
-    dkv_args = [seed_arr, q, k, v, qseg2, kseg2]
+    dkv_args = [seed_arr]
+    if dkv_bounds:
+        dkv_args += [q_lo, q_hi]
+    dkv_args += [q, k, v, qseg2, kseg2]
     if use_rope:
         dkv_specs += [
-            pl.BlockSpec((block_q, D), lambda b, i, j, *_: (j, 0)),    # q cos
-            pl.BlockSpec((block_q, D), lambda b, i, j, *_: (j, 0)),    # q sin
+            pl.BlockSpec((block_q, D), qcos_map),                      # q cos
+            pl.BlockSpec((block_q, D), qcos_map),                      # q sin
             pl.BlockSpec((block_kv, D), lambda b, i, j, *_: (i, 0)),   # k cos
             pl.BlockSpec((block_kv, D), lambda b, i, j, *_: (i, 0)),   # k sin
         ]
         dkv_args += [cos2, sin2, cos2, sin2]
     dkv_specs += [
-        pl.BlockSpec((1, block_q, H),
-                     lambda b, ki, qi, *_: (b, qi, 0)),   # lse
-        pl.BlockSpec((1, block_q, H * D),
-                     lambda b, ki, qi, *_: (b, qi, 0)),   # do
-        pl.BlockSpec((1, block_q, H),
-                     lambda b, ki, qi, *_: (b, qi, 0)),   # di
+        pl.BlockSpec((1, block_q, H), qseg_map),              # lse
+        pl.BlockSpec((1, block_q, H * D), q_map),             # do
+        pl.BlockSpec((1, block_q, H), qseg_map),              # di
     ]
     dkv_args += [lse, do, di]
     dkv_kernel = functools.partial(
         _mh_bwd_dkv_kernel, scale=scale, n_head=H, use_rope=use_rope,
-        dropout_rate=dropout_rate)
+        dropout_rate=dropout_rate, use_bounds=dkv_bounds)
     with _interpret_ctx():
         dk, dv = pl.pallas_call(
             dkv_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=3 if dkv_bounds else 1,
                 grid=(B, Tk // block_kv, Tq // block_q),
                 in_specs=dkv_specs,
                 out_specs=[
@@ -882,25 +1022,38 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
                 vmem_limit_bytes=VMEM_LIMIT),
         )(*dkv_args)
 
+        if dq_bounds:
+            def dq_kv_map(b, qi, ki, sd, lo, hi):
+                return (b, jnp.clip(ki, lo[b, qi], hi[b, qi]), 0)
+
+            def dq_kseg_map(b, qi, ki, sd, lo, hi):
+                return (b, 0, jnp.clip(ki, lo[b, qi], hi[b, qi]))
+
+            def dq_kcos_map(b, qi, ki, sd, lo, hi):
+                return (jnp.clip(ki, lo[b, qi], hi[b, qi]), 0)
+        else:
+            dq_kv_map = lambda b, qi, ki, *_: (b, ki, 0)
+            dq_kseg_map = lambda b, qi, ki, *_: (b, 0, ki)
+            dq_kcos_map = lambda b, qi, ki, *_: (ki, 0)
         dq_specs = [
             pl.BlockSpec((1, block_q, H * D),
                          lambda b, qi, ki, *_: (b, qi, 0)),
-            pl.BlockSpec((1, block_kv, H * D),
-                         lambda b, qi, ki, *_: (b, ki, 0)),
-            pl.BlockSpec((1, block_kv, H * D),
-                         lambda b, qi, ki, *_: (b, ki, 0)),
+            pl.BlockSpec((1, block_kv, H * D), dq_kv_map),
+            pl.BlockSpec((1, block_kv, H * D), dq_kv_map),
             pl.BlockSpec((1, block_q, 1),
                          lambda b, qi, ki, *_: (b, qi, 0)),
-            pl.BlockSpec((1, 1, block_kv),
-                         lambda b, qi, ki, *_: (b, 0, ki)),
+            pl.BlockSpec((1, 1, block_kv), dq_kseg_map),
         ]
-        dq_args = [seed_arr, q, k, v, qseg2, kseg2]
+        dq_args = [seed_arr]
+        if dq_bounds:
+            dq_args += [kv_lo, kv_hi]
+        dq_args += [q, k, v, qseg2, kseg2]
         if use_rope:
             dq_specs += [
                 pl.BlockSpec((block_q, D), lambda b, qi, ki, *_: (qi, 0)),
                 pl.BlockSpec((block_q, D), lambda b, qi, ki, *_: (qi, 0)),
-                pl.BlockSpec((block_kv, D), lambda b, qi, ki, *_: (ki, 0)),
-                pl.BlockSpec((block_kv, D), lambda b, qi, ki, *_: (ki, 0)),
+                pl.BlockSpec((block_kv, D), dq_kcos_map),
+                pl.BlockSpec((block_kv, D), dq_kcos_map),
             ]
             dq_args += [cos2, sin2, cos2, sin2]
         dq_specs += [
@@ -912,14 +1065,14 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
                          lambda b, qi, ki, *_: (b, qi, 0)),
         ]
         dq_args += [lse, do, di]
-        single_kv = Tk == block_kv
         dq_kernel = functools.partial(
             _mh_bwd_dq_kernel, scale=scale, n_head=H, use_rope=use_rope,
-            dropout_rate=dropout_rate, single_kv=single_kv)
+            dropout_rate=dropout_rate, single_kv=single_kv,
+            use_bounds=dq_bounds)
         dq = pl.pallas_call(
             dq_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=3 if dq_bounds else 1,
                 grid=(B, Tq // block_q, Tk // block_kv),
                 in_specs=dq_specs,
                 out_specs=pl.BlockSpec((1, block_q, H * D),
@@ -939,25 +1092,29 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
         jnp.zeros_like(sin2), None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _flash_mh(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale, block_q,
-              block_kv, dropout_rate, use_rope):
+              block_kv, dropout_rate, use_rope, use_skip):
     o, _ = _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale=scale,
                    block_q=block_q, block_kv=block_kv,
-                   dropout_rate=dropout_rate, use_rope=use_rope)
+                   dropout_rate=dropout_rate, use_rope=use_rope,
+                   use_skip=use_skip)
     return o
 
 
 def _flash_mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale, block_q,
-                  block_kv, dropout_rate, use_rope):
+                  block_kv, dropout_rate, use_rope, use_skip):
     o, lse = _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale=scale,
                      block_q=block_q, block_kv=block_kv,
-                     dropout_rate=dropout_rate, use_rope=use_rope)
+                     dropout_rate=dropout_rate, use_rope=use_rope,
+                     use_skip=use_skip)
     return o, (q, k, v, q_seg, kv_seg, cos2, sin2, seed, o, lse)
 
 
-def _flash_mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g):
-    return _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g)
+def _flash_mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, use_skip,
+                  res, g):
+    return _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
+                   use_skip=use_skip)
 
 
 _flash_mh.defvjp(_flash_mh_fwd, _flash_mh_bwd)
@@ -966,9 +1123,9 @@ _flash_mh.defvjp(_flash_mh_fwd, _flash_mh_bwd)
 LN2 = 0.6931471805599453
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _flash_mh_lse(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale, block_q,
-                  block_kv, dropout_rate, use_rope):
+                  block_kv, dropout_rate, use_rope, use_skip):
     """Like _flash_mh but ALSO returns the logsumexp residual (natural-log,
     (B, Tq, H)) as a differentiable output. This is the building block for
     blockwise/ring attention: per-block (o_i, lse_i) pairs recombine as
@@ -976,24 +1133,26 @@ def _flash_mh_lse(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale, block_q,
     reaches the kernels through the di adjustment (see _mh_bwd)."""
     o, lse2 = _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale=scale,
                       block_q=block_q, block_kv=block_kv,
-                      dropout_rate=dropout_rate, use_rope=use_rope)
+                      dropout_rate=dropout_rate, use_rope=use_rope,
+                      use_skip=use_skip)
     return o, lse2 * LN2
 
 
 def _flash_mh_lse_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale,
-                      block_q, block_kv, dropout_rate, use_rope):
+                      block_q, block_kv, dropout_rate, use_rope, use_skip):
     o, lse2 = _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale=scale,
                       block_q=block_q, block_kv=block_kv,
-                      dropout_rate=dropout_rate, use_rope=use_rope)
+                      dropout_rate=dropout_rate, use_rope=use_rope,
+                      use_skip=use_skip)
     return (o, lse2 * LN2), (q, k, v, q_seg, kv_seg, cos2, sin2, seed, o,
                              lse2)
 
 
-def _flash_mh_lse_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res,
-                      g):
+def _flash_mh_lse_bwd(scale, block_q, block_kv, dropout_rate, use_rope,
+                      use_skip, res, g):
     do, dlse = g
     return _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res,
-                   do, dlse=dlse)
+                   do, dlse=dlse, use_skip=use_skip)
 
 
 _flash_mh_lse.defvjp(_flash_mh_lse_fwd, _flash_mh_lse_bwd)
@@ -1040,6 +1199,7 @@ def flash_attention(
     block_kv: int = 128,
     rope: Optional[tuple] = None,       # (cos, sin) (T, D/2) from rope_tables
     multi_head: bool = True,
+    segment_skip: bool = True,
 ) -> jnp.ndarray:
     """Flash attention over (B, T, H, D) inputs with segment-id masking.
 
@@ -1053,10 +1213,18 @@ def flash_attention(
     rotate-half RoPE (models/rope.py:apply_rope_half) on q/k inside the
     kernels, so the rotation is recomputed in both passes instead of ever
     touching HBM (requires multi_head=True).
+
+    segment_skip=True (default, multi_head only): tiles whose q/kv segment-id
+    ranges are disjoint — entirely cross-segment, fully masked — are skipped
+    (no DMA, no compute) via scalar-prefetched per-block bounds. Exact: only
+    provably-masked tiles are pruned; replaces the reference's O(T²) work on
+    the materialised block-diagonal mask (train_encoder.py:31-57) with work
+    proportional to the visible tiles.
     """
     B, T, H, D = q.shape
     assert T % block_q == 0 and T % block_kv == 0, (T, block_q, block_kv)
 
+    skip = segment_skip and segment_ids is not None and multi_head
     if segment_ids is None:
         segment_ids = jnp.zeros((B, T), jnp.int32)
 
@@ -1073,7 +1241,8 @@ def flash_attention(
         # full-width tables [c|c], [s|s] so the in-kernel rotation is two
         # lane-aligned multiplies + one concat (see _rope_rot)
         return _flash_mh_apply(q, k, v, segment_ids, seed, scale,
-                               block_q, block_kv, dropout_rate, rope)
+                               block_q, block_kv, dropout_rate, rope,
+                               use_skip=skip)
 
     assert rope is None, "rope fusion requires the multi_head kernel"
     # the kernel consumes the model's native (B, T, H, D) layout directly —
@@ -1085,7 +1254,7 @@ def flash_attention(
 def flash_attention_tp(q, k, v, *, segment_ids=None, scale,
                        mesh, model_axis="model", dropout_rate=0.0,
                        dropout_rng=None, block_q=512, block_kv=1024,
-                       rope=None):
+                       rope=None, segment_skip=True):
     """Head-parallel flash attention: shard H over `model_axis` and run the
     kernel per-device on its local heads (zero communication — head
     parallelism needs none; boom_attention_tricks.md §14). Use under tensor
@@ -1095,6 +1264,7 @@ def flash_attention_tp(q, k, v, *, segment_ids=None, scale,
     them whole)."""
     from jax.sharding import PartitionSpec as P
 
+    skip = segment_skip and segment_ids is not None
     if segment_ids is None:
         segment_ids = jnp.zeros((q.shape[0], q.shape[1]), jnp.int32)
     if dropout_rate > 0.0:
@@ -1113,7 +1283,7 @@ def flash_attention_tp(q, k, v, *, segment_ids=None, scale,
         idx = jax.lax.axis_index(model_axis)
         mixed = seed ^ (idx * jnp.int32(-1640531527))  # 0x9E3779B9 as int32
         return _flash_mh_apply(q, k, v, seg, mixed, scale, block_q,
-                               block_kv, dropout_rate, rope)
+                               block_kv, dropout_rate, rope, use_skip=skip)
 
     spec = P(None, None, model_axis, None)
     # check_vma=False: pallas_call outputs don't carry varying-axis metadata
@@ -1125,7 +1295,7 @@ def flash_attention_tp(q, k, v, *, segment_ids=None, scale,
 
 
 def _flash_mh_apply(q, k, v, seg, seed, scale, block_q, block_kv,
-                    dropout_rate, rope):
+                    dropout_rate, rope, use_skip=False):
     """Shared entry into the multi-head kernel: build full-width rope
     tables (or dummies) and call the custom-vjp wrapper."""
     T = q.shape[1]
@@ -1142,4 +1312,5 @@ def _flash_mh_apply(q, k, v, seg, seed, scale, block_q, block_kv,
     else:
         cos2 = sin2 = jnp.zeros((1, 1), jnp.float32)
     return _flash_mh(q, k, v, seg, seg, cos2, sin2, seed, scale,
-                     block_q, block_kv, float(dropout_rate), use_rope)
+                     block_q, block_kv, float(dropout_rate), use_rope,
+                     bool(use_skip))

@@ -114,9 +114,14 @@ def _ring_body_flash(q, k, v, q_seg, kv_seg, rng, *, scale, axis_name,
                                       jnp.iinfo(jnp.int32).max, jnp.int32)
         else:
             seed = jnp.int32(0)
+        # use_skip=True: rotations whose kv shard is entirely invisible to
+        # a q block (common at long context — remote shards hold other
+        # packed segments) skip those tiles' DMA and compute; the combine
+        # handles the resulting huge-negative lse like any masked block
         o_i, lse_i = _flash_mh_lse(q, k_blk, v_blk, q_seg, kseg_blk,
                                    dummy, dummy, seed, scale, block_q,
-                                   block_kv, float(dropout_rate), False)
+                                   block_kv, float(dropout_rate), False,
+                                   True)
         lse32 = lse_i.astype(jnp.float32)                # (B, Tl, H)
         m_new = jnp.maximum(m, lse32)
         alpha = jnp.exp(m - m_new)

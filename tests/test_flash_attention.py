@@ -215,3 +215,94 @@ def test_flash_attention_tp_head_sharded():
         xla_attention(qq, k, v, scale=SCALE, segment_ids=seg) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_segment_skip_matches_noskip_and_oracle():
+    """Block-skipping is exact: skip=True equals skip=False bit-for-bit
+    (same kernel math on the surviving tiles) and both match the oracle.
+    Strong block-diagonal segments so many tiles actually get pruned."""
+    B, T, H, D = 2, 512, 2, 64
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    # ~8 short segments per row: most 128-blocks see only neighbours
+    seg = np.zeros((B, T), np.int32)
+    for b in range(B):
+        cuts = np.sort(rng.choice(np.arange(8, T - 8), 7, replace=False))
+        seg[b] = np.searchsorted(cuts, np.arange(T), side="right")
+    seg = jnp.asarray(seg)
+
+    def run(skip):
+        with pltpu.force_tpu_interpret_mode():
+            return flash_attention(q, k, v, segment_ids=seg, scale=SCALE,
+                                   block_q=128, block_kv=128,
+                                   segment_skip=skip)
+
+    o_skip, o_full = run(True), run(False)
+    np.testing.assert_array_equal(np.asarray(o_skip), np.asarray(o_full))
+    ref = xla_attention(q, k, v, scale=SCALE, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(o_skip), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients: skip == noskip bit-for-bit, and == oracle numerically
+    def loss(fn, *a):
+        return jnp.sum(fn(*a) * jnp.sin(fn(*a)))
+
+    def g(skip):
+        def f(q, k, v):
+            with pltpu.force_tpu_interpret_mode():
+                o = flash_attention(q, k, v, segment_ids=seg, scale=SCALE,
+                                    block_q=128, block_kv=128,
+                                    segment_skip=skip)
+            return jnp.sum(o * jnp.sin(o))
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    gs, gf = g(True), g(False)
+    for a, b_ in zip(gs, gf):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def f_ref(q, k, v):
+        o = xla_attention(q, k, v, scale=SCALE, segment_ids=seg)
+        return jnp.sum(o * jnp.sin(o))
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gs, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_segment_skip_dropout_consistent():
+    """Dropout streams are tile-indexed, so skipped tiles draw nothing and
+    the surviving tiles' keep-masks are identical with and without skip."""
+    q, k, v, _ = _inputs(B=1, T=512, H=2, D=64, seed=22)
+    seg = jnp.asarray(
+        np.repeat(np.arange(8, dtype=np.int32), 64)[None, :])  # 8 x 64-len
+    rng = jax.random.PRNGKey(13)
+
+    def run(skip):
+        with pltpu.force_tpu_interpret_mode():
+            return flash_attention(q, k, v, segment_ids=seg, scale=SCALE,
+                                   dropout_rate=0.3, dropout_rng=rng,
+                                   block_q=128, block_kv=128,
+                                   segment_skip=skip)
+
+    np.testing.assert_array_equal(np.asarray(run(True)),
+                                  np.asarray(run(False)))
+
+
+def test_segment_skip_with_rope_fused():
+    from omnibiote_tpu.models.rope import rope_tables
+    q, k, v, _ = _inputs(B=1, T=512, H=2, D=128, seed=23)
+    seg = jnp.asarray(
+        np.repeat(np.arange(4, dtype=np.int32), 128)[None, :])
+    rope = rope_tables(128, 512, 10000.0)
+
+    def run(skip):
+        with pltpu.force_tpu_interpret_mode():
+            return flash_attention(q, k, v, segment_ids=seg, scale=SCALE,
+                                   rope=rope, block_q=128, block_kv=128,
+                                   segment_skip=skip)
+
+    np.testing.assert_array_equal(np.asarray(run(True)),
+                                  np.asarray(run(False)))
