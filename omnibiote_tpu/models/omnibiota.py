@@ -156,7 +156,8 @@ def _linear(x, w, b=None, compute_dtype=None):
 
 
 def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
-           deterministic, ring_mesh=None, ring_axis="data", tp_mesh=None,
+           deterministic, ring_mesh=None, ring_axis="data",
+           ring_batch_axis=None, tp_mesh=None,
            tp_axis="model"):
     B, T, D = x.shape
     H, Dh = cfg.n_head, cfg.head_dim
@@ -202,6 +203,7 @@ def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
         rope=(cos, sin),
         ring_mesh=ring_mesh,
         ring_axis=ring_axis,
+        ring_batch_axis=ring_batch_axis,
         tp_mesh=tp_mesh,
         tp_axis=tp_axis,
     )
@@ -230,6 +232,7 @@ def forward(
     return_embeddings: bool = False,
     ring_mesh=None,
     ring_axis: str = "data",
+    ring_batch_axis=None,
     tp_mesh=None,
     tp_axis: str = "model",
 ) -> jnp.ndarray:
@@ -269,7 +272,8 @@ def forward(
             ks = jax.random.split(lrng, 3)
             rngs = {"attn": ks[0], "resid1": ks[1], "resid2": ks[2]}
         out = _block(cfg, carry, bp, cos, sin, segment_ids, rngs,
-                     deterministic, ring_mesh, ring_axis, tp_mesh, tp_axis)
+                     deterministic, ring_mesh, ring_axis, ring_batch_axis,
+                     tp_mesh, tp_axis)
         return out, None
 
     if cfg.checkpoint_freq > 0:

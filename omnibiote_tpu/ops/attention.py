@@ -90,6 +90,7 @@ def attention(
     rope=None,
     ring_mesh=None,
     ring_axis: str = "data",
+    ring_batch_axis=None,
     tp_mesh=None,
     tp_axis: str = "model",
 ):
@@ -129,6 +130,7 @@ def attention(
         assert ring_mesh is not None, "impl='ring' requires ring_mesh"
         return ring_attention(q, k, v, segment_ids, scale=scale,
                               mesh=ring_mesh, seq_axis=ring_axis,
+                              batch_axis=ring_batch_axis,
                               dropout_rate=dropout_rate,
                               dropout_rng=dropout_rng)
     if take_flash:

@@ -31,20 +31,26 @@ NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _ring_body(q, k, v, q_seg, kv_seg, rng, *, scale, axis_name, ring_size,
-               dropout_rate, key_impl=None):
+               dropout_rate, key_impl=None, batch_axis=None):
     """Per-device shard_map body. q,k,v: (B, Tl, H, D); segs: (B, Tl);
     rng: key data in its impl's native shape (replicated), folded per
     (device, step) for attention-probability dropout."""
     N = ring_size
     B, Tl, H, D = q.shape
     my_idx = jax.lax.axis_index(axis_name)
+    if batch_axis is not None:
+        # dp x sp: decorrelate dropout across data shards (same seq index
+        # on different batch shards must not share a stream)
+        my_idx = my_idx + ring_size * jax.lax.axis_index(batch_axis)
 
     m = jnp.full((B, H, Tl, 1), -jnp.inf, jnp.float32)
     l = jnp.zeros((B, H, Tl, 1), jnp.float32)
     o = jnp.zeros((B, Tl, H, D), jnp.float32)
     # initial accumulators are device-invariant constants; mark them varying
-    # over the ring axis so the scan carry types line up
-    m, l, o = (jax.lax.pcast(x, (axis_name,), to='varying')
+    # over the ring axis (and the data axis under dp x sp) so the scan
+    # carry types line up
+    vaxes = (axis_name,) if batch_axis is None else (axis_name, batch_axis)
+    m, l, o = (jax.lax.pcast(x, vaxes, to='varying')
                for x in (m, l, o))
 
     def block(carry, step):
@@ -86,7 +92,7 @@ def _ring_body(q, k, v, q_seg, kv_seg, rng, *, scale, axis_name, ring_size,
 
 def _ring_body_flash(q, k, v, q_seg, kv_seg, rng, *, scale, axis_name,
                      ring_size, dropout_rate, block_q, block_kv,
-                     key_impl=None):
+                     key_impl=None, batch_axis=None):
     """Pallas-accelerated ring step: each rotation's local attention runs
     the multi-head flash kernel via its lse-exposing entry
     (flash_attention._flash_mh_lse), and the per-block (o_i, lse_i) pairs
@@ -103,6 +109,8 @@ def _ring_body_flash(q, k, v, q_seg, kv_seg, rng, *, scale, axis_name,
     N = ring_size
     B, Tl, H, D = q.shape
     my_idx = jax.lax.axis_index(axis_name)
+    if batch_axis is not None:
+        my_idx = my_idx + ring_size * jax.lax.axis_index(batch_axis)
     dummy = jnp.zeros((1, 1), jnp.float32)   # no in-kernel rope here
 
     def block(carry, step):
@@ -138,7 +146,8 @@ def _ring_body_flash(q, k, v, q_seg, kv_seg, rng, *, scale, axis_name,
     m0 = jnp.full((B, Tl, H), -jnp.inf, jnp.float32)
     num0 = jnp.zeros((B, Tl, H, D), jnp.float32)
     den0 = jnp.zeros((B, Tl, H), jnp.float32)
-    m0, num0, den0 = (jax.lax.pcast(x, (axis_name,), to='varying')
+    vaxes = (axis_name,) if batch_axis is None else (axis_name, batch_axis)
+    m0, num0, den0 = (jax.lax.pcast(x, vaxes, to='varying')
                       for x in (m0, num0, den0))
     carry = (m0, num0, den0, k, v, kv_seg)
     (m, num, den, _, _, _), _ = jax.lax.scan(block, carry, jnp.arange(N))
@@ -155,6 +164,7 @@ def ring_attention(
     scale: float,
     mesh: Mesh,
     seq_axis: str = "data",
+    batch_axis: Optional[str] = None,
     dropout_rate: float = 0.0,
     dropout_rng=None,
     use_flash: Optional[bool] = None,
@@ -162,6 +172,11 @@ def ring_attention(
     """Sequence-parallel attention: shard T over `seq_axis`, rotate KV.
     Attention-probability dropout draws per-(device, ring-step) keys folded
     from dropout_rng.
+
+    batch_axis: for dp x sp 2D meshes — the batch dim shards over this axis
+    while the ring rotates over `seq_axis` only, so each (data, seq) device
+    holds a (B/D, T/S) tile and KV rotation stays within its data row's
+    ICI ring (r2 VERDICT #3).
 
     use_flash=None (auto): the per-rotation local attention runs the Pallas
     multi-head flash kernel whenever the local sequence shard is a lane
@@ -182,8 +197,8 @@ def ring_attention(
         key_data = jax.random.key_data(dropout_rng)
         key_impl = jax.random.key_impl(dropout_rng)
 
-    spec_qkv = P(None, seq_axis, None, None)
-    spec_seg = P(None, seq_axis)
+    spec_qkv = P(batch_axis, seq_axis, None, None)
+    spec_seg = P(batch_axis, seq_axis)
 
     N = int(mesh.shape[seq_axis])
     Tl = T // N
@@ -195,12 +210,12 @@ def ring_attention(
             _ring_body_flash, scale=scale, axis_name=seq_axis, ring_size=N,
             dropout_rate=float(dropout_rate),
             block_q=_fit_block(Tl, 512), block_kv=_fit_block(Tl, 1024),
-            key_impl=key_impl)
+            key_impl=key_impl, batch_axis=batch_axis)
     else:
         body = functools.partial(_ring_body, scale=scale, axis_name=seq_axis,
                                  ring_size=N,
                                  dropout_rate=float(dropout_rate),
-                                 key_impl=key_impl)
+                                 key_impl=key_impl, batch_axis=batch_axis)
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(spec_qkv, spec_qkv, spec_qkv, spec_seg, spec_seg, P()),

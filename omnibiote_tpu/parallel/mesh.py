@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"     # sequence axis for dp x sp long-context meshes
 
 
 def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
@@ -40,10 +41,14 @@ def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
     return Mesh(arr, axis_names=tuple(axis_names))
 
 
-def batch_sharding(mesh: Mesh, ndim: int, batch_dim: int = 0) -> NamedSharding:
-    """Shard dimension `batch_dim` over the data axis, replicate the rest."""
+def batch_sharding(mesh: Mesh, ndim: int, batch_dim: int = 0,
+                   seq_dim: Optional[int] = None) -> NamedSharding:
+    """Shard dimension `batch_dim` over the data axis (and, for dp x sp
+    meshes, `seq_dim` over the seq axis), replicate the rest."""
     spec = [None] * ndim
     spec[batch_dim] = DATA_AXIS
+    if seq_dim is not None:
+        spec[seq_dim] = SEQ_AXIS
     return NamedSharding(mesh, P(*spec))
 
 
@@ -51,7 +56,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch_pytree(mesh: Mesh, batch: dict, batch_dim: int = 0) -> dict:
+def shard_batch_pytree(mesh: Mesh, batch: dict, batch_dim: int = 0,
+                       seq_dim: Optional[int] = None) -> dict:
     """Place a host batch dict on the mesh with the batch dim sharded over
     data.
 
@@ -63,12 +69,13 @@ def shard_batch_pytree(mesh: Mesh, batch: dict, batch_dim: int = 0) -> dict:
     """
     if jax.process_count() == 1:
         return {
-            k: jax.device_put(v, batch_sharding(mesh, v.ndim, batch_dim))
+            k: jax.device_put(v, batch_sharding(mesh, v.ndim, batch_dim,
+                                                seq_dim))
             for k, v in batch.items()
         }
     out = {}
     for k, v in batch.items():
-        sharding = batch_sharding(mesh, v.ndim, batch_dim)
+        sharding = batch_sharding(mesh, v.ndim, batch_dim, seq_dim)
         n = v.shape[batch_dim]
         per = n // jax.process_count()
         lo = jax.process_index() * per

@@ -86,6 +86,7 @@ def mlm_loss(
     capacity_frac: float = 0.25,
     ring_mesh=None,
     ring_axis: str = "data",
+    ring_batch_axis=None,
     tp_mesh=None,
     tp_axis: str = "model",
 ) -> Tuple[jnp.ndarray, dict]:
@@ -102,7 +103,8 @@ def mlm_loss(
     emb = forward(params, cfg, masked_ids, segment_ids=segment_ids,
                   deterministic=deterministic, rng=rng_drop,
                   return_embeddings=True, ring_mesh=ring_mesh,
-                  ring_axis=ring_axis, tp_mesh=tp_mesh, tp_axis=tp_axis)
+                  ring_axis=ring_axis, ring_batch_axis=ring_batch_axis,
+                  tp_mesh=tp_mesh, tp_axis=tp_axis)
 
     if ring_mesh is not None:
         # Sequence-parallel mode: a global argsort over T would gather
@@ -118,7 +120,8 @@ def mlm_loss(
         B, T = tokens.shape
         T_l = T // n_shards
         cap = max(int(T_l * capacity_frac), 8)
-        blkspec = NamedSharding(ring_mesh, P(None, ring_axis, None))
+        blkspec = NamedSharding(ring_mesh,
+                                P(ring_batch_axis, ring_axis, None))
         tok_b = jax.lax.with_sharding_constraint(
             tokens.reshape(B, n_shards, T_l), blkspec)
         mask_b = mask.reshape(B, n_shards, T_l)

@@ -35,7 +35,8 @@ from .optim import make_optimizer, scaled_lr, linear_decay
 # --------------------------------------------------------------------------
 
 def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
-                    optimizer, ring_mesh=None, tp_mesh=None):
+                    optimizer, ring_mesh=None, ring_axis=None,
+                    ring_batch_axis=None, tp_mesh=None):
     """Build the jitted train step.
 
     Signature of the returned fn:
@@ -52,7 +53,8 @@ def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
                             mask_prob=train_cfg.mask_prob,
                             deterministic=model_cfg.dropout == 0.0,
                             ring_mesh=ring_mesh,
-                            ring_axis=train_cfg.dp_axis,
+                            ring_axis=ring_axis or train_cfg.dp_axis,
+                            ring_batch_axis=ring_batch_axis,
                             tp_mesh=tp_mesh)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return loss, aux, grads
@@ -251,6 +253,12 @@ class Trainer:
                      else len(_jax.devices()))
                 self.mesh = make_mesh((n,), axis_names=("stage",),
                                       devices=_jax.devices()[:n])
+        elif tc.sharding == "sp" and tc.mesh_shape is not None \
+                and len(tc.mesh_shape) == 2:
+            # dp x sp: batch rows over 'data', sequence over 'seq' — the
+            # layout a long-context pod run uses (r2 VERDICT #3)
+            self.mesh = make_mesh(tuple(tc.mesh_shape),
+                                  axis_names=("data", "seq"))
         elif tc.mesh_shape is not None:
             names = ("data", "model")[:len(tc.mesh_shape)]
             self.mesh = make_mesh(tuple(tc.mesh_shape), axis_names=names)
@@ -268,10 +276,13 @@ class Trainer:
         # mini_batch_size is per-device (the reference's per-process micro
         # batch); one accumulation slot processes mini * n_data rows, where
         # n_data is the DATA-parallel degree (model/stage-axis devices split
-        # each row's compute, not the batch). In sp mode the sequence (not
-        # the batch) shards over devices, so the micro batch is global as
-        # given; pp composes with dp through n_data like everything else.
-        self.global_micro = (tc.mini_batch_size if tc.sharding == "sp"
+        # each row's compute, not the batch). Legacy 1D sp claims the whole
+        # mesh for the sequence, so its micro batch is global as given; on a
+        # 2D (data, seq) mesh sp composes with dp through n_data like
+        # everything else. pp likewise.
+        self.seq_axis = "seq" if "seq" in mesh_axes else tc.dp_axis
+        sp_whole_mesh = tc.sharding == "sp" and "seq" not in mesh_axes
+        self.global_micro = (tc.mini_batch_size if sp_whole_mesh
                              else tc.mini_batch_size * self.n_data)
         assert tc.batch_size % self.global_micro == 0, (
             f"batch_size {tc.batch_size} must divide by mini_batch_size *"
@@ -333,8 +344,15 @@ class Trainer:
             step_fn = make_pp_train_step(model_cfg, tc, self.optimizer,
                                          self.mesh)
         else:
+            ring_batch = ("data" if (ring_mesh is not None
+                                     and "seq" in mesh_axes
+                                     and mesh_axes.get("data", 1) > 1)
+                          else None)
             step_fn = make_train_step(model_cfg, tc, self.optimizer,
-                                      ring_mesh=ring_mesh, tp_mesh=tp_mesh)
+                                      ring_mesh=ring_mesh,
+                                      ring_axis=self.seq_axis,
+                                      ring_batch_axis=ring_batch,
+                                      tp_mesh=tp_mesh)
         self._train_step = jax.jit(step_fn, donate_argnums=(0, 1))
         self._eval_step = jax.jit(make_eval_step(model_cfg, tc))
 
@@ -384,11 +402,18 @@ class Trainer:
             from ..parallel.mesh import replicated
             batch = {k: jax.device_put(v, replicated(self.mesh))
                      for k, v in batch.items()}
+        elif self.train_cfg.sharding == "sp":
+            if "seq" in self.mesh.axis_names:
+                # dp x sp: rows (dim 1) over 'data', sequence (dim 2) over
+                # 'seq' — each device holds a (mini, T/S) tile
+                batch = shard_batch_pytree(self.mesh, batch, batch_dim=1,
+                                           seq_dim=2)
+            else:
+                # legacy 1D sp: the whole mesh is the sequence axis
+                batch = shard_batch_pytree(self.mesh, batch, batch_dim=2)
         else:
-            # dp (incl. dp x pp): shard rows (dim 1); sp: the sequence
-            # (dim 2)
-            bdim = 2 if self.train_cfg.sharding == "sp" else 1
-            batch = shard_batch_pytree(self.mesh, batch, batch_dim=bdim)
+            # dp (incl. dp x pp): shard rows (dim 1)
+            batch = shard_batch_pytree(self.mesh, batch, batch_dim=1)
         return batch, jnp.asarray(weights)
 
     def _staged_stream(self):

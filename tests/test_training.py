@@ -488,3 +488,51 @@ def test_pp_checkpoint_resume_bitexact(tmp_path):
         lambda p, a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=str(p)),
         ref_params, got)
+
+
+def test_dp_sp_composition_2d_mesh():
+    """dp x sp on a 2D (data, seq) mesh (r2 VERDICT #3): batch rows shard
+    over 'data', the sequence over 'seq', ring attention rotates over the
+    seq axis only — and losses track the pure-dp path step for step."""
+    cfg = OmniBioTAConfig(n_layer=1, n_head=2, n_embd=32, vocab_size=64,
+                          block_size=1024, dropout=0.0, attn_impl="ring",
+                          compute_dtype="float32", mup_base_n_embd=16)
+    tc = TrainConfig(batch_size=8, mini_batch_size=2, ctx_len=1024, lr=1e-2,
+                     token_budget=8 * 1024 * 100.0, seed=0, sharding="sp",
+                     mesh_shape=(2, 4))
+    tr = Trainer(cfg, tc, batch_iter=synth_batches(8, 1024, seed=41))
+    assert tuple(tr.mesh.axis_names) == ("data", "seq")
+    assert tr.global_micro == 4 and tr.accum_slots == 2
+    batch, _ = next(tr._staged_iter())
+    # each device holds a (A, mini, T/S) tile: rows AND sequence sharded
+    shard_shapes = {s.data.shape for s in batch["tokens"].addressable_shards}
+    assert shard_shapes == {(2, 2, 256)}, shard_shapes
+    # the staging probe consumed the stream's first batch: rewind fully
+    tr._staged = None
+    tr._grand = tr._grand_seg = None
+    tr.batch_iter = synth_batches(8, 1024, seed=41)
+
+    losses_sp = [float(tr.train_step_once()["loss"]) for _ in range(4)]
+
+    cfg_r = cfg.replace(attn_impl="xla")
+    tc_r = tc.replace(sharding="replicated", mesh_shape=None,
+                      mini_batch_size=4)
+    tr_r = Trainer(cfg_r, tc_r, batch_iter=synth_batches(8, 1024, seed=41),
+                   mesh=make_mesh((1,), axis_names=("data",),
+                                  devices=jax.devices()[:1]))
+    losses_r = [float(tr_r.train_step_once()["loss"]) for _ in range(4)]
+    np.testing.assert_allclose(losses_sp, losses_r, rtol=1e-4, atol=1e-5)
+
+
+def test_dp_sp_ctx8k_batch_gt1():
+    """ctx-8192 dp x sp training with batch > 1 per step on the 8-device
+    mesh: two data shards each holding sequence-sharded rows."""
+    cfg = OmniBioTAConfig(n_layer=1, n_head=2, n_embd=32, vocab_size=64,
+                          block_size=8192, dropout=0.0, attn_impl="ring",
+                          compute_dtype="float32", mup_base_n_embd=16)
+    tc = TrainConfig(batch_size=4, mini_batch_size=2, ctx_len=8192, lr=1e-2,
+                     token_budget=4 * 8192 * 10.0, seed=0, sharding="sp",
+                     mesh_shape=(2, 4))
+    tr = Trainer(cfg, tc, batch_iter=synth_batches(4, 8192))
+    m = tr.train_step_once()
+    assert np.isfinite(float(m["loss"]))
