@@ -43,10 +43,32 @@ CHUNK_FILES = 10
 
 @dataclasses.dataclass
 class ReaderState:
-    """Resumable position of one shard_reader stream."""
+    """Resumable position of one data-pipeline stage, row-exact.
+
+    Fields beyond (seed, epoch, chunk_idx) pin the position WITHIN a chunk
+    so a mid-chunk resume replays nothing (r2 VERDICT #7):
+      * seq_idx:  permutation positions of the current chunk already
+                  consumed by shard_reader (python path);
+      * partial:  pack_sequences' pending partial row (python path);
+      * row_idx:  rows of the current chunk already delivered
+                  (native_row_stream);
+      * carry:    the native packer's carry at the START of the current
+                  chunk (native_row_stream re-packs the chunk and skips
+                  row_idx rows);
+      * batch_idx: batches emitted by mixture_batches (its per-batch row
+                  shuffle is seeded by (seed, tag, batch_idx), so the
+                  shuffle stream is position-exact too).
+    Old checkpoints without these keys load with the defaults (chunk-
+    granular resume, the previous behaviour).
+    """
     seed: int
     epoch: int = 0
     chunk_idx: int = 0
+    seq_idx: int = 0
+    partial: Optional[List[int]] = None
+    row_idx: int = 0
+    carry: Optional[List[int]] = None
+    batch_idx: int = 0
 
     def to_dict(self):
         return dataclasses.asdict(self)
@@ -54,6 +76,21 @@ class ReaderState:
     @classmethod
     def from_dict(cls, d):
         return cls(**d)
+
+    def copy(self) -> "ReaderState":
+        return ReaderState(
+            seed=self.seed, epoch=self.epoch, chunk_idx=self.chunk_idx,
+            seq_idx=self.seq_idx,
+            partial=None if self.partial is None else list(self.partial),
+            row_idx=self.row_idx,
+            carry=None if self.carry is None else list(self.carry),
+            batch_idx=self.batch_idx)
+
+    def assign(self, other: "ReaderState") -> None:
+        """Copy every field of `other` into this (live) object."""
+        for f in dataclasses.fields(self):
+            v = getattr(other, f.name)
+            setattr(self, f.name, list(v) if isinstance(v, list) else v)
 
 
 def shard_reader(
@@ -81,7 +118,7 @@ def shard_reader(
     def gen():
         while True:
             # Epoch-level shuffle must be reproducible given (seed, epoch) so
-            # chunk_idx alone pins the resume point.
+            # (chunk_idx, seq_idx) pins the resume point exactly.
             rng = np.random.default_rng((st.seed, st.epoch))
             order = rng.permutation(len(filenames))
             chunks = [order[i:i + chunk_files]
@@ -93,17 +130,27 @@ def shard_reader(
                 eos_idx = np.where(block == EOS_TOKEN)[0]
                 sub_blocks = np.split(block, eos_idx + 1)
                 sub_rng = np.random.default_rng((st.seed, st.epoch, st.chunk_idx))
-                for j in sub_rng.permutation(len(sub_blocks)):
-                    sb = sub_blocks[j]
+                perm = sub_rng.permutation(len(sub_blocks))
+                # seq_idx counts PERMUTATION POSITIONS consumed (not yields),
+                # so skipping on resume is a pure index slice; it is set
+                # before each yield so a paused generator's state reflects
+                # exactly the sequences already delivered.
+                for pos in range(st.seq_idx, len(perm)):
+                    sb = sub_blocks[perm[pos]]
                     if len(sb) == 0:
+                        st.seq_idx = pos + 1
                         continue
                     if len(banned) == 1:
                         sb = sb[sb != banned[0]]
                     elif len(banned) > 1:
                         sb = sb[~np.isin(sb, banned)]
                     if len(sb):
+                        st.seq_idx = pos + 1
                         yield sb.astype(np.int32)
+                    else:
+                        st.seq_idx = pos + 1
                 st.chunk_idx += 1
+                st.seq_idx = 0
             st.epoch += 1
             st.chunk_idx = 0
 
@@ -127,19 +174,35 @@ def pack_sequences(
     reader: Iterator[np.ndarray],
     ctx_len: int,
     use_padding: bool = False,
+    state: Optional[ReaderState] = None,
 ) -> Iterator[np.ndarray]:
     """Pack variable-length sequences into fixed ctx_len rows
     (reference get_sequence, loader.py:118-163; see module docstring for the
-    reproduced edge cases)."""
+    reproduced edge cases).
+
+    state: shares the reader's ReaderState; the pending partial row is
+    mirrored into state.partial before every yield, so a checkpoint taken
+    while the pipeline is paused (always at a yield) captures exactly the
+    tokens consumed-but-not-yet-emitted — row-exact resume (r2 VERDICT #7).
+    """
     sequence: List[int] = []
+    if state is not None and state.partial:
+        sequence = list(state.partial)
+
+    def sync():
+        if state is not None:
+            state.partial = list(sequence)
+
     while True:
         line = next(reader)
         seq_len = len(sequence)
 
         if seq_len == ctx_len:
-            yield np.asarray(sequence, dtype=np.int32)
-            sequence = []
-            continue  # `line` dropped, as in the reference
+            row = np.asarray(sequence, dtype=np.int32)
+            sequence = []               # `line` dropped, as in the reference
+            sync()
+            yield row
+            continue
 
         if seq_len + len(line) > ctx_len:
             if use_padding:
@@ -148,8 +211,10 @@ def pack_sequences(
                 sequence.extend([PAD_TOKEN] * (ctx_len - seq_len))
             else:
                 sequence.extend(line[:ctx_len - seq_len].tolist())
-            yield np.asarray(sequence, dtype=np.int32)
+            row = np.asarray(sequence, dtype=np.int32)
             sequence = []
+            sync()
+            yield row
             continue
 
         sequence.extend(line.tolist())
@@ -161,21 +226,28 @@ def mixture_batches(
     *,
     seed: int = 0,
     with_segments: bool = True,
+    state: Optional[ReaderState] = None,
 ) -> Iterator[dict]:
     """Deterministic per-batch corpus mixture (reference get_batch,
     loader.py:165-181): pull counts[i] rows from generators[i], shuffle row
-    order, emit {'tokens': (B,T) int32, 'segments': (B,T) int32}."""
-    rng = np.random.default_rng((seed, 0xBA7C4))
+    order, emit {'tokens': (B,T) int32, 'segments': (B,T) int32}.
+
+    The row shuffle is seeded per batch from (seed, tag, batch_idx), so a
+    resume at state.batch_idx reproduces the exact shuffle stream without
+    replaying earlier draws."""
+    st = state or ReaderState(seed=seed)
     while True:
         rows = []
         for gen_i, n in zip(generators, counts):
             for _ in range(n):
                 rows.append(next(gen_i))
+        rng = np.random.default_rng((seed, 0xBA7C4, st.batch_idx))
         batch = np.stack(rows)
         batch = batch[rng.permutation(len(batch))]
         out = {"tokens": batch}
         if with_segments:
             out["segments"] = segment_ids_np(batch)
+        st.batch_idx += 1
         yield out
 
 
@@ -214,14 +286,23 @@ def build_pipeline(
     objects whose contents advance with the stream (checkpoint them).
     """
     shard_lists = list_shards(base_dir, rel_dirs)
-    states = reader_states or [
-        ReaderState(seed=seed + 1000 * i) for i in range(len(shard_lists))]
+    # states: one per corpus reader (shared with its packer) + a final one
+    # for the mixture shuffle position
+    if reader_states and len(reader_states) == len(shard_lists):
+        # legacy checkpoint without the mixture state: append a fresh one
+        states = list(reader_states) + [ReaderState(seed=seed)]
+    else:
+        states = reader_states or (
+            [ReaderState(seed=seed + 1000 * i)
+             for i in range(len(shard_lists))] + [ReaderState(seed=seed)])
     readers = [
         shard_reader(files, banned_tokens, state=st)
         for files, st in zip(shard_lists, states)]
-    packers = [pack_sequences(r, ctx_len, use_padding) for r in readers]
+    packers = [pack_sequences(r, ctx_len, use_padding, state=st)
+               for r, st in zip(readers, states)]
     counts = batch_split(batch_size, proportions)
-    return mixture_batches(packers, counts, seed=seed), states
+    return (mixture_batches(packers, counts, seed=seed, state=states[-1]),
+            states)
 
 
 def pack_lines_native(lines, ctx_len: int, use_padding: bool = False):
@@ -304,25 +385,111 @@ def native_chunk_rows(
         chunks = [order[i:i + chunk_files]
                   for i in range(0, len(filenames), chunk_files)]
         while st.chunk_idx < len(chunks):
-            block = np.ascontiguousarray(np.concatenate(
-                [np.load(filenames[i]) for i in chunks[st.chunk_idx]]
-            ).astype(np.int32))
-            cap = len(block) // max(ctx_len, 1) + 2
-            rows = np.zeros((cap, ctx_len), np.int32)
-            segs = np.zeros((cap, ctx_len), np.int32)
-            shuffle_seed = (st.seed * 1_000_003 + st.epoch * 97 +
-                            st.chunk_idx) & 0xFFFFFFFFFFFFFFFF
-            n = lib.obt_pack_chunk(
-                block.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                len(block),
-                banned.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                len(banned), shuffle_seed, ctx_len, int(use_padding),
-                carry.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                ctypes.byref(carry_len),
-                rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-                segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), cap)
+            rows, segs = _native_pack_one_chunk(
+                lib, filenames, chunks[st.chunk_idx], banned, st, ctx_len,
+                use_padding, carry, carry_len)
             st.chunk_idx += 1
-            if n:
-                yield rows[:n], segs[:n]
+            if len(rows):
+                yield rows, segs
         st.epoch += 1
         st.chunk_idx = 0
+
+
+def _native_pack_one_chunk(lib, filenames, chunk, banned, st, ctx_len,
+                           use_padding, carry, carry_len):
+    """Run obt_pack_chunk over one shard chunk, updating carry in place."""
+    import ctypes
+
+    block = np.ascontiguousarray(np.concatenate(
+        [np.load(filenames[i]) for i in chunk]).astype(np.int32))
+    cap = len(block) // max(ctx_len, 1) + 2
+    rows = np.zeros((cap, ctx_len), np.int32)
+    segs = np.zeros((cap, ctx_len), np.int32)
+    shuffle_seed = (st.seed * 1_000_003 + st.epoch * 97 +
+                    st.chunk_idx) & 0xFFFFFFFFFFFFFFFF
+    n = lib.obt_pack_chunk(
+        block.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        len(block),
+        banned.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        len(banned), shuffle_seed, ctx_len, int(use_padding),
+        carry.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.byref(carry_len),
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), cap)
+    return rows[:n], segs[:n]
+
+
+def native_row_stream(
+    filenames: Sequence[str],
+    banned_tokens: Sequence[int] = (),
+    *,
+    ctx_len: int,
+    use_padding: bool = False,
+    seed: int = 0,
+    state: Optional[ReaderState] = None,
+    chunk_files: int = CHUNK_FILES,
+):
+    """Row-level native stream with ROW-EXACT resume (r2 VERDICT #7).
+
+    Yields one (row, seg) pair at a time. ReaderState carries, in addition
+    to (seed, epoch, chunk_idx):
+      * carry:   the packer carry at the START of the current chunk;
+      * row_idx: rows of the current chunk already delivered.
+    A resume re-packs the current chunk from the saved pre-chunk carry
+    (host-side, cheap) and skips the delivered rows — the continued stream
+    is bit-identical to an uninterrupted one. Returns a _Reader-style
+    object exposing `.state`. Replaces the reference's restart-from-scratch
+    stream (/root/reference/training/loader.py:25-59, SURVEY.md §5).
+    """
+    import ctypes
+    from ..tokenizer import _load_lib
+
+    lib = _load_lib()
+    filenames = list(filenames)
+    st = state or ReaderState(seed=seed)
+    banned = np.asarray(list(banned_tokens), np.int32)
+
+    def gen():
+        carry = np.zeros(ctx_len, np.int32)
+        carry_len = ctypes.c_int(0)
+        if st.carry:
+            carry[:len(st.carry)] = np.asarray(st.carry, np.int32)
+            carry_len.value = len(st.carry)
+        resume_skip = st.row_idx
+        while True:
+            rng = np.random.default_rng((st.seed, st.epoch))
+            order = rng.permutation(len(filenames))
+            chunks = [order[i:i + chunk_files]
+                      for i in range(0, len(filenames), chunk_files)]
+            while st.chunk_idx < len(chunks):
+                # snapshot the pre-chunk carry: this is what a mid-chunk
+                # resume needs to re-pack the chunk identically
+                st.carry = carry[:carry_len.value].tolist()
+                rows, segs = _native_pack_one_chunk(
+                    lib, filenames, chunks[st.chunk_idx], banned, st,
+                    ctx_len, use_padding, carry, carry_len)
+                start = resume_skip
+                resume_skip = 0
+                for i in range(start, len(rows)):
+                    # set BEFORE the yield: a paused generator's state says
+                    # exactly how many rows are out
+                    st.row_idx = i + 1
+                    yield rows[i], segs[i]
+                st.chunk_idx += 1
+                st.row_idx = 0
+            st.epoch += 1
+            st.chunk_idx = 0
+
+    class _Rows:
+        state = st
+
+        def __init__(self):
+            self._g = gen()
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            return next(self._g)
+
+    return _Rows()

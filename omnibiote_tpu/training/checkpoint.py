@@ -7,8 +7,12 @@ safe to load without executing pickled code. Improvements over the reference:
   * optimizer state and schedule position resume exactly (the reference
     rebuilds a LinearLR whose start factor is trained/budget,
     train_encoder.py:220 — a resume at 90% restarts at 90% of peak LR);
-  * the data stream position (ReaderState per corpus) is checkpointed
-    (the reference reshuffles from scratch, SURVEY.md §5).
+  * the data stream position is checkpointed ROW-EXACTLY: ReaderState pins
+    (epoch, chunk, intra-chunk sequence position, pending partial row,
+    mixture-shuffle position), and saves record the snapshot taken before
+    the next-to-train step's batch was staged — so a resumed run consumes
+    exactly the rows the interrupted run would have, prefetch lookahead
+    included (the reference reshuffles from scratch, SURVEY.md §5).
 
 Rotation matches the reference: after a successful save the previous
 checkpoint trio is deleted (train_encoder.py:417-420).
@@ -108,7 +112,12 @@ def save_checkpoint(trainer, final: bool = False,
         "rng_impl": (str(jax.random.key_impl(trainer.rng))
                      if jax.dtypes.issubdtype(trainer.rng.dtype,
                                               jax.dtypes.prng_key) else "raw"),
-        "reader_states": [s.to_dict() for s in trainer.reader_states],
+        # reader positions: the snapshot taken BEFORE the batch for
+        # trainer.step was staged (with prefetch, the live states have run
+        # ahead by the staged-but-unconsumed lookahead; the snapshot makes
+        # the resumed run restage exactly the rows this run will consume)
+        "reader_states": [s.to_dict()
+                          for s in trainer.reader_states_for_checkpoint()],
         "model_cfg": {k: v for k, v in vars(trainer.model_cfg).items()},
         "train_cfg": {k: (v if not isinstance(v, tuple) else list(v))
                       for k, v in vars(trainer.train_cfg).items()},
@@ -213,10 +222,10 @@ def restore_into_trainer(trainer, path: str) -> None:
         # been pulled yet) the stream resumes at the checkpointed position
         # without rebuilding the pipeline.
         for live, new in zip(trainer.reader_states, restored):
-            live.seed, live.epoch, live.chunk_idx = (
-                new.seed, new.epoch, new.chunk_idx)
+            live.assign(new)
     else:
         trainer.reader_states = restored
+    trainer._reader_snapshots = {}
     # invalidate any staged batches built for the pre-restore step counter
     trainer._staged = None
     trainer._grand = trainer._grand_seg = None

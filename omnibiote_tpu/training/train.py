@@ -323,6 +323,10 @@ class Trainer:
         self.trained_tokens = 0
         self.batch_iter = batch_iter
         self.reader_states = reader_states or []
+        # step -> deep copy of reader_states taken BEFORE that step's batch
+        # was staged; lets checkpoints record the stream position the step
+        # will actually consume even when the prefetch thread runs ahead
+        self._reader_snapshots = {}
         self.metrics_sink = metrics_sink
         self.prefetch = prefetch
         self._staged = None      # lazily-built staged step-input stream
@@ -426,6 +430,12 @@ class Trainer:
         """
         step = self.step
         while True:
+            if self.reader_states:
+                self._reader_snapshots[step] = [
+                    s.copy() for s in self.reader_states]
+                for k in [k for k in self._reader_snapshots
+                          if k < self.step]:
+                    del self._reader_snapshots[k]
             eff = effective_batch_size(step, self.total_iters,
                                        self.train_cfg, self.global_micro)
             yield self._stage(eff)
@@ -440,6 +450,12 @@ class Trainer:
                                           device_put=False)
             self._staged = stream
         return self._staged
+
+    def reader_states_for_checkpoint(self):
+        """Stream position for the NEXT step to train (self.step): the
+        snapshot taken before that step's batch was staged, or the live
+        states when nothing has been staged ahead."""
+        return self._reader_snapshots.get(self.step, self.reader_states)
 
     def close(self):
         """Shut down the prefetch thread (if any) and join any in-flight

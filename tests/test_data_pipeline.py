@@ -139,17 +139,16 @@ def test_pipeline_checkpoint_resume(tmp_path):
     snap = [ReaderState.from_dict(s.to_dict()) for s in states]
 
     # continue original
-    ref_next = [next(it)["tokens"] for _ in range(2)]
+    ref_next = [next(it)["tokens"] for _ in range(4)]
 
-    # resume from snapshot: the stream must realign at the next chunk
-    # boundary; with 6 files and chunk_files=10 there is 1 chunk per epoch,
-    # so resume replays the current epoch deterministically.
+    # ROW-EXACT resume (r2 VERDICT #7): a fresh pipeline restored from the
+    # snapshot continues with bit-identical batches — no chunk replay, no
+    # skipped rows; ReaderState pins intra-chunk position, the packer's
+    # partial row, and the mixture-shuffle index.
     it2, _ = fresh(states=snap)
-    out2 = [next(it2)["tokens"] for _ in range(20)]
-    # the continued batches appear within the replayed stream
-    flat_ref = [r.tobytes() for r in ref_next]
-    flat_out = [o.tobytes() for o in out2]
-    assert all(fr in flat_out for fr in flat_ref)
+    out2 = [next(it2)["tokens"] for _ in range(4)]
+    for a, b in zip(ref_next, out2):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_prefetcher_yields_device_arrays():
@@ -234,3 +233,96 @@ def test_native_chunk_rows_determinism_and_filter(tmp_path):
     assert r1.shape != r3.shape or (r1 != r3).any()  # seed-dependent
     assert not (r1 == 65533).any()                  # banned filtered
     np.testing.assert_array_equal(s1, segment_ids_np(r1))
+
+
+def test_native_row_stream_midchunk_resume(tmp_path):
+    """native_row_stream: save mid-chunk, resume in a fresh stream — the
+    continued row stream is bit-identical to the uninterrupted one
+    (r2 VERDICT #7: packer carry + intra-chunk row offset in ReaderState)."""
+    from omnibiote_tpu.data.loader import native_row_stream
+
+    rng = np.random.default_rng(11)
+    files = []
+    for i in range(4):
+        toks = []
+        for _ in range(200):
+            ln = int(rng.integers(5, 40))
+            seq = rng.integers(4, 1000, size=ln)
+            seq[-1] = EOS_TOKEN
+            toks.extend(seq.tolist())
+        p = tmp_path / f"s{i}.npy"
+        np.save(p, np.asarray(toks, np.int32))
+        files.append(str(p))
+
+    g = native_row_stream(files, [65533], ctx_len=64, seed=5, chunk_files=2)
+    # consume into the middle of a chunk (each 2-file chunk yields ~dozens
+    # of 64-token rows, so 17 rows is mid-chunk)
+    for _ in range(17):
+        next(g)
+    snap = ReaderState.from_dict(g.state.to_dict())
+    assert snap.row_idx > 0          # genuinely mid-chunk
+    ref = [next(g) for _ in range(40)]  # crosses the next chunk boundary
+
+    g2 = native_row_stream(files, [65533], ctx_len=64, seed=5,
+                           chunk_files=2, state=snap)
+    got = [next(g2) for _ in range(40)]
+    for (r1, s1), (r2, s2) in zip(ref, got):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(s1, s2)
+
+
+def test_trainer_resume_row_exact_with_prefetch(tmp_path):
+    """End-to-end: a Trainer over the real pipeline WITH prefetch running
+    ahead checkpoints mid-run; the restored run's losses match the
+    uninterrupted run bit-for-bit (proving it consumed the same rows)."""
+    import jax
+    from omnibiote_tpu import OmniBioTAConfig, TrainConfig
+    from omnibiote_tpu.training.train import Trainer
+    from omnibiote_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    (tmp_path / "c" / "train").mkdir(parents=True)
+    for i in range(6):
+        toks = []
+        for _ in range(200):
+            ln = int(rng.integers(4, 20))
+            seq = rng.integers(4, 60, size=ln)
+            seq[-1] = EOS_TOKEN
+            toks.extend(seq.tolist())
+        np.save(tmp_path / "c" / "train" / f"s{i}.npy",
+                np.asarray(toks, dtype=np.int32))
+
+    cfg = OmniBioTAConfig(n_layer=1, n_head=2, n_embd=32, vocab_size=64,
+                          block_size=32, dropout=0.0, attn_impl="xla",
+                          compute_dtype="float32", mup_base_n_embd=16)
+    tc = TrainConfig(batch_size=8, mini_batch_size=8, ctx_len=32, lr=1e-2,
+                     token_budget=8 * 32 * 200.0, seed=0,
+                     save_dir=str(tmp_path / "ck"), save_name="r")
+    mesh = make_mesh((1,), axis_names=("data",), devices=jax.devices()[:1])
+
+    def make(states=None):
+        it, sts = build_pipeline(str(tmp_path), ["c/train"], [1.0],
+                                 batch_size=8, ctx_len=32, seed=7,
+                                 reader_states=states)
+        return Trainer(cfg, tc, batch_iter=it, reader_states=sts,
+                       mesh=mesh, prefetch=2)
+
+    tr = make()
+    for _ in range(3):
+        tr.train_step_once()
+    path = tr.save_checkpoint()
+    ref_losses = [float(tr.train_step_once()["loss"]) for _ in range(4)]
+    tr.close()
+
+    tr2 = make()
+    tr2.restore_checkpoint(path)
+    # rebuild the pipeline from the RESTORED states (fresh generators)
+    it2, sts2 = build_pipeline(str(tmp_path), ["c/train"], [1.0],
+                               batch_size=8, ctx_len=32, seed=7,
+                               reader_states=tr2.reader_states)
+    tr2.batch_iter = it2
+    tr2.reader_states = sts2
+    got_losses = [float(tr2.train_step_once()["loss"]) for _ in range(4)]
+    tr2.close()
+    np.testing.assert_array_equal(np.asarray(ref_losses),
+                                  np.asarray(got_losses))

@@ -306,3 +306,31 @@ def test_segment_skip_with_rope_fused():
 
     np.testing.assert_array_equal(np.asarray(run(True)),
                                   np.asarray(run(False)))
+
+
+def test_fused_single_kv_backward_matches_split_and_oracle():
+    """The fused single-pass backward (block_kv == T) must match both the
+    split dkv/dq path (block_kv < T) and the XLA oracle."""
+    q, k, v, seg = _inputs(B=1, T=256, H=2, D=64, seed=33)
+
+    def g(block_kv):
+        def f(q, k, v):
+            with pltpu.force_tpu_interpret_mode():
+                o = flash_attention(q, k, v, segment_ids=seg, scale=SCALE,
+                                    block_q=128, block_kv=block_kv)
+            return jnp.sum(o * jnp.cos(o))
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_fused, g_split = g(256), g(128)
+
+    def f_ref(q, k, v):
+        o = xla_attention(q, k, v, scale=SCALE, segment_ids=seg)
+        return jnp.sum(o * jnp.cos(o))
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, c, name in zip(g_fused, g_split, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"fused d{name} vs oracle")
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"split d{name} vs oracle")
