@@ -36,7 +36,9 @@ class Encoder:
         if quantize:
             from .ops.quant import quantize_for_inference
             params = quantize_for_inference(params, cfg)
-            cfg = cfg.replace(qkv_prepermuted=True)
+            # int8 attention too: the serving kernel puts the remaining
+            # encode() FLOPs (scores, P·V) on the double-rate int8 MXU
+            cfg = cfg.replace(qkv_prepermuted=True, attn_int8=True)
         self.params = params
         self.cfg = cfg.replace(dropout=0.0)
         self.sp = sp

@@ -87,6 +87,12 @@ class OmniBioTAConfig:
     # _block is skipped).
     qkv_prepermuted: bool = False
 
+    # Inference-only: run attention itself in int8 (ops/int8_attention.py —
+    # int8 scores + int8 P·V on the double-rate MXU). Only takes effect on
+    # deterministic forwards at lane-aligned shapes; training and any
+    # non-conforming shape fall back to the bf16 flash kernel.
+    attn_int8: bool = False
+
     # µP base widths (reference train_encoder.py:157-166). width_mult =
     # n_embd / mup_base_n_embd. Setting mup_base_n_embd == n_embd disables µP
     # scaling (width_mult == 1).

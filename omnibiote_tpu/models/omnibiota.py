@@ -206,6 +206,7 @@ def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
         ring_batch_axis=ring_batch_axis,
         tp_mesh=tp_mesh,
         tp_axis=tp_axis,
+        int8=cfg.attn_int8 and deterministic,
     )
     y = y.reshape(B, T, D)
     y = _linear(y, bp["attn"]["wo"], bp["attn"].get("bo"))

@@ -334,3 +334,51 @@ def test_fused_single_kv_backward_matches_split_and_oracle():
         np.testing.assert_allclose(np.asarray(b), np.asarray(c),
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=f"split d{name} vs oracle")
+
+
+def test_int8_attention_accuracy():
+    """Serving int8 kernel vs the fp32 oracle: per-element tolerance loose
+    (int8), but cosine must clear the serving bar (>=0.999)."""
+    from omnibiote_tpu.ops.int8_attention import int8_flash_attention
+
+    q, k, v, seg = _inputs(B=2, T=256, H=2, D=128, seed=40)
+    with pltpu.force_tpu_interpret_mode():
+        out = int8_flash_attention(q, k, v, scale=SCALE, segment_ids=seg,
+                                   block_q=128)
+    ref = xla_attention(q, k, v, scale=SCALE, segment_ids=seg)
+    a = np.asarray(out, np.float64).ravel()
+    b = np.asarray(ref, np.float64).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.9995, cos
+    # dense path too (encode() without padding mask)
+    with pltpu.force_tpu_interpret_mode():
+        out_d = int8_flash_attention(q, k, v, scale=SCALE, segment_ids=None)
+    ref_d = xla_attention(q, k, v, scale=SCALE, segment_ids=None)
+    a = np.asarray(out_d, np.float64).ravel()
+    b = np.asarray(ref_d, np.float64).ravel()
+    assert a @ b / (np.linalg.norm(a) * np.linalg.norm(b)) > 0.9995
+
+
+def test_int8_attention_full_model_cosine():
+    """attn_int8 through the whole encode() path: embeddings cosine vs the
+    fp32 forward stays >= 0.999 (the serving quality bar)."""
+    import jax
+    from omnibiote_tpu import OmniBioTAConfig
+    from omnibiote_tpu.models.omnibiota import init_params, forward
+
+    cfg = OmniBioTAConfig(n_layer=2, n_head=2, n_embd=256, block_size=256,
+                          vocab_size=512, dropout=0.0, attn_impl="flash",
+                          compute_dtype="float32", param_dtype="float32",
+                          mup_base_n_embd=128)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(4, 500, size=(2, 256)).astype(np.int32))
+    with pltpu.force_tpu_interpret_mode():
+        emb_i8 = forward(params, cfg.replace(attn_int8=True), toks,
+                         return_embeddings=True)
+    emb_fp = forward(params, cfg.replace(attn_impl="xla"), toks,
+                     return_embeddings=True)
+    a = np.asarray(emb_i8, np.float64).ravel()
+    b = np.asarray(emb_fp, np.float64).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
