@@ -95,6 +95,24 @@ def main():
     float(e[0, 0])
     enc_sps = enc_steps * enc_batch.shape[0] / (time.time() - t0)
 
+    # int8 serving path: quantized projections; attention stays bf16 —
+    # the int8 attention kernel measured SLOWER on this chip (K=128 dots
+    # are latency-bound; see ops/int8_attention.py and DESIGN.md §6)
+    from omnibiote_tpu.ops.quant import quantize_for_inference
+    q_params = quantize_for_inference(trainer.params, enc_cfg)
+    q_cfg = enc_cfg.replace(qkv_prepermuted=True)
+    enc_q = jax.jit(lambda p, t: encode(p, q_cfg, t, "mean"))
+    eq = enc_q(q_params, enc_batch)
+    float(eq[0, 0])
+    t0 = time.time()
+    for _ in range(enc_steps):
+        eq = enc_q(q_params, enc_batch)
+    float(eq[0, 0])
+    enc_sps_int8 = enc_steps * enc_batch.shape[0] / (time.time() - t0)
+    a = np.asarray(e, np.float64).ravel()
+    b = np.asarray(eq, np.float64).ravel()
+    int8_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
     print(json.dumps({
         "metric": "omnibiote-small MLM pretrain tokens/sec/chip (ctx 1024, bf16)",
         "value": round(tps_chip, 1),
@@ -103,6 +121,8 @@ def main():
         "detail": {
             "mfu": round(achieved_mfu, 4),
             "encode_seqs_per_sec_ctx1024": round(enc_sps, 1),
+            "encode_seqs_per_sec_ctx1024_int8": round(enc_sps_int8, 1),
+            "int8_vs_bf16_cosine": round(int8_cos, 5),
             "platform": platform,
             "tpu_gen": gen,
             "n_devices": n_dev,

@@ -29,16 +29,23 @@ class Encoder:
     """Checkpointed model + tokenizer, batched string encoding."""
 
     def __init__(self, params, cfg: OmniBioTAConfig, sp,
-                 banned_tokens: Sequence[int] = (), quantize: bool = False):
+                 banned_tokens: Sequence[int] = (), quantize: bool = False,
+                 quantize_attention: bool = False):
         """quantize=True converts the weights to the int8 serving format
         (ops/quant.py): ~1.2x encode throughput on a v5e at cosine >=0.999
-        vs the bf16 path."""
+        vs the bf16 path.
+
+        quantize_attention=True additionally runs attention itself in int8
+        (ops/int8_attention.py). Off by default: measured on a v5e at ctx
+        1024 the int8 attention kernel is SLOWER than the bf16 flash kernel
+        (67 vs 102 TF/s) — the K=128 score dots are latency-bound, so the
+        int8 MXU's 2x rate never materialises while the in-kernel
+        quantization adds VPU work. Kept for shapes/chips where it wins."""
         if quantize:
             from .ops.quant import quantize_for_inference
             params = quantize_for_inference(params, cfg)
-            # int8 attention too: the serving kernel puts the remaining
-            # encode() FLOPs (scores, P·V) on the double-rate int8 MXU
-            cfg = cfg.replace(qkv_prepermuted=True, attn_int8=True)
+            cfg = cfg.replace(qkv_prepermuted=True,
+                              attn_int8=quantize_attention)
         self.params = params
         self.cfg = cfg.replace(dropout=0.0)
         self.sp = sp

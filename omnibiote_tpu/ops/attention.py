@@ -116,15 +116,13 @@ def attention(
     take_flash = impl == "flash" and not causal and flash_ok
     if (int8 and impl == "flash" and not causal and dropout_rate == 0.0
             and T % 128 == 0 and D % 128 == 0):
-        # serving-only int8 kernel (ops/int8_attention.py): RoPE applies at
-        # the XLA level on the fp32 values before quantization
+        # serving-only int8 kernel (ops/int8_attention.py): RoPE and the
+        # int8 quantization both happen in-kernel on VMEM-resident tiles
         from .int8_attention import int8_flash_attention
-        if rope is not None:
-            from ..models.rope import apply_rope_half
-            q, k = apply_rope_half(q, k, rope[0], rope[1])
         return int8_flash_attention(q, k, v, scale=scale,
                                     segment_ids=segment_ids,
-                                    block_q=_fit_block(T, block_q))
+                                    block_q=_fit_block(T, block_q),
+                                    rope=rope)
     if rope is not None and not take_flash:
         from ..models.rope import apply_rope_half
         q, k = apply_rope_half(q, k, rope[0], rope[1])

@@ -33,6 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+# A/B switch for the fused single-kv backward (bench ablations); the fused
+# kernel computes s/dp once (5 dots/tile) vs the split pair's 7.
+FUSED_SINGLE_KV_BWD = True
 # Mosaic's default scoped-vmem cap is 16 MB; the multi-head kernels use
 # (block, H*D) tiles and profit from larger blocks, so raise it (v5e/v5p
 # have 128 MB of VMEM per core).
@@ -1100,7 +1103,7 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
                  axis=-1)                          # (B, Tq, H)
     if dlse is not None:
         di = di - dlse.astype(jnp.float32)
-    if single_kv:
+    if single_kv and FUSED_SINGLE_KV_BWD:
         # one kv block covers the sequence: fused single-pass backward
         # (dq, dk, dv from one kernel — the split pair recomputes s/dp)
         dq, dk, dv = _mh_bwd_fused(scale, block_q, dropout_rate, use_rope,
