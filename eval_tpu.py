@@ -47,13 +47,15 @@ def _protein_for_class(rng, y, n=24):
 def _make_pglue_dir(root, seed=1):
     rng = np.random.default_rng(seed)
     os.makedirs(root)
-    for split, n in (("training", 40), ("validation", 12), ("test", 12)):
+    # ss_* for SS3 plus the CB513 test-only variant its head auto-evaluates
+    for fname, n in (("ss_training.csv", 40), ("ss_validation.csv", 12),
+                     ("ss_test.csv", 12), ("ss_cb513_test.csv", 12)):
         lines = ["sequence,ss3"]
         for i in range(n):
             seq = _protein_for_class(rng, i % 2, n=20)
             lab = [(0 if c == "A" else 1 if c == "W" else 2) for c in seq]
             lines.append(seq + ",[" + " ".join(str(v) for v in lab) + "]")
-        with open(os.path.join(root, f"ss_{split}.csv"), "w") as f:
+        with open(os.path.join(root, fname), "w") as f:
             f.write("\n".join(lines) + "\n")
     return root
 
@@ -95,6 +97,7 @@ def main():
                       batch_size=8, pretraining_lr=1e-3,
                       finetuning_lr=1e-3, output_suffix="tpu", seed=0)
         task, r = next(iter(gue.items()))
+        task = os.path.relpath(task, tmp)
         results.append({
             "task": f"GUE {task} (synthetic motif)",
             "metric": "MCC", "value": round(float(r["mcc"]), 4),
