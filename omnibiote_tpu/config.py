@@ -74,11 +74,15 @@ class OmniBioTAConfig:
 
     # MLM head cross-entropy: True = vocab-chunked fused CE with logits
     # recompute in the backward (ops/fused_ce.py); False = plain log_softmax
-    # (XLA saves bf16 logits residuals). Semantics identical. Measured on a
-    # v5e at omnibiote-small/ctx1024: plain wins (68.6% vs 65.9% MFU) because
-    # masked-position compaction already keeps the logits small (N=B*T/4) and
-    # the fused backward recomputes them; flip to True for memory-tight
-    # configs (large caps, bigger vocab, long context without compaction).
+    # (XLA saves bf16 logits residuals). Semantics identical. EXPERIMENTAL /
+    # memory-bound option: measured on a v5e it loses at every shape the
+    # framework hits — omnibiote-small/ctx1024 68.6% vs 65.9% MFU, and in a
+    # head-only f+b sweep (d=1024) plain wins 22-38% at both compacted
+    # (N=4096) and dense sp-shard (N=16384) sizes for vocab 65536 AND
+    # 131072 (V=131k/N=16k: 83.5 vs 115.5 ms) — the recompute-in-backward
+    # never pays for itself while the (N, V) bf16 residuals still fit HBM.
+    # Flip to True only when the logits residuals genuinely cannot fit
+    # (vocab >= ~2^18 with dense long-context heads).
     fused_ce: bool = False
 
     # Inference-only: set True for parameter trees produced by
