@@ -36,6 +36,13 @@ LANES = 128
 # A/B switch for the fused single-kv backward (bench ablations); the fused
 # kernel computes s/dp once (5 dots/tile) vs the split pair's 7.
 FUSED_SINGLE_KV_BWD = True
+# A/B switch for the fused MULTI-kv backward: one (b, q, kv) pass computes
+# dq, dk AND dv (5 dots/tile vs the split pair's 7), holding full-length
+# fp32 dk/dv accumulators in VMEM and flushing them once per batch row.
+# Only eligible while those accumulators + bf16 out buffers fit VMEM:
+# Tk * H*D * (4+4+2+2) bytes <= FUSED_MULTIKV_MAX_BYTES.
+FUSED_MULTIKV_BWD = True
+FUSED_MULTIKV_MAX_BYTES = 64 * 1024 * 1024
 # Mosaic's default scoped-vmem cap is 16 MB; the multi-head kernels use
 # (block, H*D) tiles and profit from larger blocks, so raise it (v5e/v5p
 # have 128 MB of VMEM per core).
@@ -1079,6 +1086,230 @@ def _mh_bwd_fused(scale, block_q, dropout_rate, use_rope, res, do, di):
             dv.reshape(B, Tk, H, D))
 
 
+def _mh_bwd_fusedmk_kernel(seed_ref, *refs, scale, n_head, use_rope,
+                           dropout_rate, use_bounds, block_kv):
+    """Fused multi-kv backward: grid (B, q-blocks, kv-blocks), computing dq,
+    dk AND dv in one pass (5 dots/tile vs the split dkv/dq pair's 7 — the
+    pair recomputes the s and dp dots in each pass). dq accumulates in a
+    per-q-block scratch across the inner kv sweep (as the split dq kernel
+    does); dk/dv accumulate into FULL-LENGTH (Tk, H*D) fp32 VMEM scratch
+    across the whole (q, kv) plane of a batch row and flush to the output
+    exactly once, at the row's last grid step (the outputs use a constant
+    block index so the buffer rides VMEM — one DMA out per row, no
+    per-tile write-back). Segment skipping uses the dq-style per-(b, q)
+    visible-kv bounds; pruned tiles contribute zero to all three grads."""
+    if use_bounds:
+        lo_ref, hi_ref = refs[:2]
+        refs = refs[2:]
+    else:
+        lo_ref = hi_ref = None
+    q_ref, k_ref, v_ref, qseg_ref, kseg_ref = refs[:5]
+    rest = refs[5:]
+    if use_rope:
+        (qcos_ref, qsin_ref, kcos_ref, ksin_ref,
+         kcosf_ref, ksinf_ref) = rest[:6]
+        rest = rest[6:]
+    else:
+        qcos_ref = qsin_ref = kcos_ref = ksin_ref = None
+        kcosf_ref = ksinf_ref = None
+    (lse_ref, do_ref, di_ref, dq_ref, dk_ref, dv_ref,
+     dq_scr, dk_scr, dv_scr) = rest
+    q_idx = pl.program_id(1)
+    n_q = pl.num_programs(1)
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+    D = q_ref.shape[-1] // n_head
+    half = D // 2
+
+    @pl.when((q_idx == 0) & (kv_idx == 0))
+    def _init_row():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    @pl.when(kv_idx == 0)
+    def _init_q():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    def _compute():
+        mask_bias = jnp.where(qseg_ref[0] == kseg_ref[0], 0.0,
+                              DEFAULT_MASK_VALUE)    # (block_q, block_kv)
+        qrows, krows, vrows, dorows = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        dtype = qrows.dtype
+        row0 = kv_idx * block_kv                     # scratch row offset
+
+        for h in range(n_head):
+            sl = slice(h * D, (h + 1) * D)
+            q = qrows[:, sl]
+            k = krows[:, sl]
+            if use_rope:
+                q = _rope_rot(q, qcos_ref[...], qsin_ref[...],
+                              half).astype(dtype)
+                k = _rope_rot(k, kcos_ref[...], ksin_ref[...],
+                              half).astype(dtype)
+            s2 = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E) \
+                + mask_bias
+            p = jnp.exp2(s2 - lse_ref[0][:, h:h + 1])   # lse is log2-space
+
+            do = dorows[:, sl]
+            dp = jax.lax.dot_general(
+                do, vrows[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            if dropout_rate > 0.0:
+                # identical stream to the forward's multi-kv branch
+                b = pl.program_id(0)
+                unique = ((b * n_head + h) * n_q + q_idx) * n_kv + kv_idx
+                keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0],
+                                     unique)
+                inv = 1.0 / (1.0 - dropout_rate)
+                p_drop = jnp.where(keep, p * inv, 0.0)
+                dp = jnp.where(keep, dp * inv, 0.0)
+            else:
+                p_drop = p
+
+            rows = (pl.dslice(row0, block_kv), sl)
+            dv_scr[rows] += jax.lax.dot_general(
+                p_drop.astype(dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - di_ref[0][:, h:h + 1]) * scale
+            dsb = ds.astype(dtype)
+            dk_scr[rows] += jax.lax.dot_general(
+                dsb, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_scr[:, sl] += jax.lax.dot(
+                dsb, k, preferred_element_type=jnp.float32)
+
+    if use_bounds:
+        b_i = pl.program_id(0)
+        pl.when((kv_idx >= lo_ref[b_i, q_idx]) &
+                (kv_idx <= hi_ref[b_i, q_idx]))(_compute)
+    else:
+        _compute()
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _store_dq():
+        if use_rope:
+            dq_rows = dq_scr[...]
+            for h in range(n_head):
+                sl = slice(h * D, (h + 1) * D)
+                dq_ref[0, :, sl] = _rope_rot_inv(
+                    dq_rows[:, sl], qcos_ref[...], qsin_ref[...],
+                    half).astype(dq_ref.dtype)
+        else:
+            dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+    @pl.when((q_idx == n_q - 1) & (kv_idx == n_kv - 1))
+    def _store_dkv():
+        if use_rope:
+            dk_rows = dk_scr[...]
+            for h in range(n_head):
+                sl = slice(h * D, (h + 1) * D)
+                dk_ref[0, :, sl] = _rope_rot_inv(
+                    dk_rows[:, sl], kcosf_ref[...], ksinf_ref[...],
+                    half).astype(dk_ref.dtype)
+        else:
+            dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _mh_bwd_fusedmk(scale, block_q, block_kv, dropout_rate, use_rope, res,
+                    do, di, kv_lo, kv_hi):
+    """Fused multi-kv backward dispatch: one kernel returns (dq, dk, dv).
+    di already carries any dlse adjustment; kv_lo/kv_hi are the per-(b,
+    q-block) visible-kv bounds (None = no skipping)."""
+    q, k, v, q_seg, kv_seg, cos2, sin2, seed, o, lse = res
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+    use_bounds = kv_lo is not None
+    q2 = q.reshape(B, Tq, H * D)
+    k2 = k.reshape(B, Tk, H * D)
+    v2 = v.reshape(B, Tk, H * D)
+    do2 = do.reshape(B, Tq, H * D)
+    qseg2 = q_seg[:, :, None].astype(jnp.int32)
+    kseg2 = kv_seg[:, None, :].astype(jnp.int32)
+    seed_arr = jnp.asarray([seed], jnp.int32) if jnp.ndim(seed) == 0 \
+        else seed.astype(jnp.int32).reshape(1)
+
+    if use_bounds:
+        def kv_map(b, qi, ki, sd, lo, hi):
+            return (b, jnp.clip(ki, lo[b, qi], hi[b, qi]), 0)
+
+        def kseg_map(b, qi, ki, sd, lo, hi):
+            return (b, 0, jnp.clip(ki, lo[b, qi], hi[b, qi]))
+
+        def kcos_map(b, qi, ki, sd, lo, hi):
+            return (jnp.clip(ki, lo[b, qi], hi[b, qi]), 0)
+    else:
+        kv_map = lambda b, qi, ki, *_: (b, ki, 0)
+        kseg_map = lambda b, qi, ki, *_: (b, 0, ki)
+        kcos_map = lambda b, qi, ki, *_: (ki, 0)
+    specs = [
+        pl.BlockSpec((1, block_q, H * D), lambda b, qi, ki, *_: (b, qi, 0)),
+        pl.BlockSpec((1, block_kv, H * D), kv_map),
+        pl.BlockSpec((1, block_kv, H * D), kv_map),
+        pl.BlockSpec((1, block_q, 1), lambda b, qi, ki, *_: (b, qi, 0)),
+        pl.BlockSpec((1, 1, block_kv), kseg_map),
+    ]
+    args = [seed_arr]
+    if use_bounds:
+        args += [kv_lo, kv_hi]
+    args += [q2, k2, v2, qseg2, kseg2]
+    if use_rope:
+        specs += [
+            pl.BlockSpec((block_q, D), lambda b, qi, ki, *_: (qi, 0)),
+            pl.BlockSpec((block_q, D), lambda b, qi, ki, *_: (qi, 0)),
+            pl.BlockSpec((block_kv, D), kcos_map),
+            pl.BlockSpec((block_kv, D), kcos_map),
+            # full-length tables for the final dk rotate-back
+            pl.BlockSpec((Tk, D), lambda b, qi, ki, *_: (0, 0)),
+            pl.BlockSpec((Tk, D), lambda b, qi, ki, *_: (0, 0)),
+        ]
+        args += [cos2, sin2, cos2, sin2, cos2, sin2]
+    specs += [
+        pl.BlockSpec((1, block_q, H), lambda b, qi, ki, *_: (b, qi, 0)),
+        pl.BlockSpec((1, block_q, H * D), lambda b, qi, ki, *_: (b, qi, 0)),
+        pl.BlockSpec((1, block_q, H), lambda b, qi, ki, *_: (b, qi, 0)),
+    ]
+    args += [lse, do2, di]
+    kernel = functools.partial(
+        _mh_bwd_fusedmk_kernel, scale=scale, n_head=H, use_rope=use_rope,
+        dropout_rate=dropout_rate, use_bounds=use_bounds, block_kv=block_kv)
+    with _interpret_ctx():
+        dq, dk, dv = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3 if use_bounds else 1,
+                grid=(B, Tq // block_q, Tk // block_kv),
+                in_specs=specs,
+                out_specs=[
+                    pl.BlockSpec((1, block_q, H * D),
+                                 lambda b, qi, ki, *_: (b, qi, 0)),
+                    pl.BlockSpec((1, Tk, H * D),
+                                 lambda b, qi, ki, *_: (b, 0, 0)),
+                    pl.BlockSpec((1, Tk, H * D),
+                                 lambda b, qi, ki, *_: (b, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, H * D), jnp.float32),
+                    pltpu.VMEM((Tk, H * D), jnp.float32),
+                    pltpu.VMEM((Tk, H * D), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct(q2.shape, q2.dtype),
+                jax.ShapeDtypeStruct(k2.shape, k2.dtype),
+                jax.ShapeDtypeStruct(v2.shape, v2.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+                vmem_limit_bytes=VMEM_LIMIT),
+        )(*args)
+    return (dq.reshape(B, Tq, H, D), dk.reshape(B, Tk, H, D),
+            dv.reshape(B, Tk, H, D))
+
+
 def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
             dlse=None, use_skip=False):
     """Shared backward. dlse (B, Tq, H), natural-log space: cotangent of
@@ -1108,6 +1339,15 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
         # (dq, dk, dv from one kernel — the split pair recomputes s/dp)
         dq, dk, dv = _mh_bwd_fused(scale, block_q, dropout_rate, use_rope,
                                    res, do, di)
+        return dq, dk, dv, None, None, jnp.zeros_like(cos2), \
+            jnp.zeros_like(sin2), None
+    if (not single_kv and FUSED_MULTIKV_BWD
+            and Tk * H * D * 12 <= FUSED_MULTIKV_MAX_BYTES):
+        # multi-kv fused backward: 5 dots/tile with full-length VMEM dk/dv
+        # accumulators (the 12 B/element = 2 fp32 scratch + 2 bf16 buffers)
+        dq, dk, dv = _mh_bwd_fusedmk(
+            scale, block_q, block_kv, dropout_rate, use_rope, res, do, di,
+            kv_lo if dq_bounds else None, kv_hi if dq_bounds else None)
         return dq, dk, dv, None, None, jnp.zeros_like(cos2), \
             jnp.zeros_like(sin2), None
     q = q.reshape(B, Tq, H * D)

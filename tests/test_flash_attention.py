@@ -336,6 +336,56 @@ def test_fused_single_kv_backward_matches_split_and_oracle():
                                    err_msg=f"split d{name} vs oracle")
 
 
+def test_fused_multikv_backward_matches_split_and_oracle():
+    """The fused multi-kv backward (one (b, q, kv) pass producing dq, dk,
+    dv with full-length VMEM accumulators) must match the split dkv/dq
+    pair and the XLA oracle — with skip bounds active and with dropout."""
+    from omnibiote_tpu.ops import flash_attention as fa
+
+    q, k, v, seg = _inputs(B=2, T=512, H=2, D=64, seed=44)
+
+    def g(fused, use_skip, drop=0.0):
+        old = fa.FUSED_MULTIKV_BWD
+        fa.FUSED_MULTIKV_BWD = fused
+        try:
+            def f(q, k, v):
+                with pltpu.force_tpu_interpret_mode():
+                    o = flash_attention(
+                        q, k, v, segment_ids=seg, scale=SCALE,
+                        block_q=128, block_kv=128, segment_skip=use_skip,
+                        dropout_rate=drop,
+                        dropout_rng=jax.random.key(7, impl="rbg")
+                        if drop else None)
+                return jnp.sum(o * jnp.cos(o))
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            fa.FUSED_MULTIKV_BWD = old
+
+    def f_ref(q, k, v):
+        o = xla_attention(q, k, v, scale=SCALE, segment_ids=seg)
+        return jnp.sum(o * jnp.cos(o))
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+
+    for use_skip in (False, True):
+        g_fused = g(True, use_skip)
+        g_split = g(False, use_skip)
+        for a, b, c, name in zip(g_fused, g_split, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-4,
+                err_msg=f"fused-mk d{name} vs oracle (skip={use_skip})")
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+                err_msg=f"fused-mk d{name} vs split (skip={use_skip})")
+
+    # dropout: fused and split must draw the IDENTICAL per-tile streams
+    # (the interpreter's PRNG ignores the seed but is deterministic, so
+    # stream-placement bugs still shift the masks)
+    for a, b, name in zip(g(True, True, 0.2), g(False, True, 0.2), "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+            err_msg=f"fused-mk d{name} vs split under dropout")
+
+
 def test_int8_attention_accuracy():
     """Serving int8 kernel vs the fp32 oracle: per-element tolerance loose
     (int8), but cosine must clear the serving bar (>=0.999)."""
