@@ -65,7 +65,10 @@ def run_ctx(ctx: int, mini: int, accum: int):
     }
 
 
-CONFIGS = {2048: dict(mini=4, accum=4), 4096: dict(mini=2, accum=4)}
+# ctx 8192: one row/micro; the fused multi-kv backward's VMEM gate
+# (Tk*H*D*12 B > 64 MB) falls back to the split two-pass there
+CONFIGS = {2048: dict(mini=4, accum=4), 4096: dict(mini=2, accum=4),
+           8192: dict(mini=1, accum=4)}
 
 
 def main():
