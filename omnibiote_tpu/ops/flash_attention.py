@@ -1087,7 +1087,8 @@ def _mh_bwd_fused(scale, block_q, dropout_rate, use_rope, res, do, di):
 
 
 def _mh_bwd_fusedmk_kernel(seed_ref, *refs, scale, n_head, use_rope,
-                           dropout_rate, use_bounds, block_kv):
+                           dropout_rate, use_bounds, block_kv,
+                           n_kv_tot, kv0):
     """Fused multi-kv backward: grid (B, q-blocks, kv-blocks), computing dq,
     dk AND dv in one pass (5 dots/tile vs the split dkv/dq pair's 7 — the
     pair recomputes the s and dp dots in each pass). dq accumulates in a
@@ -1158,9 +1159,12 @@ def _mh_bwd_fusedmk_kernel(seed_ref, *refs, scale, n_head, use_rope,
                 preferred_element_type=jnp.float32)
 
             if dropout_rate > 0.0:
-                # identical stream to the forward's multi-kv branch
+                # identical stream to the forward's multi-kv branch; when
+                # the kv axis is chunked across calls, kv0/n_kv_tot place
+                # this call's tiles in the GLOBAL kv numbering
                 b = pl.program_id(0)
-                unique = ((b * n_head + h) * n_q + q_idx) * n_kv + kv_idx
+                unique = ((b * n_head + h) * n_q + q_idx) * n_kv_tot \
+                    + (kv_idx + kv0)
                 keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0],
                                      unique)
                 inv = 1.0 / (1.0 - dropout_rate)
@@ -1215,14 +1219,23 @@ def _mh_bwd_fusedmk_kernel(seed_ref, *refs, scale, n_head, use_rope,
 
 
 def _mh_bwd_fusedmk(scale, block_q, block_kv, dropout_rate, use_rope, res,
-                    do, di, kv_lo, kv_hi):
+                    do, di, kv_lo, kv_hi, kcos2=None, ksin2=None,
+                    n_kv_tot=None, kv0=0):
     """Fused multi-kv backward dispatch: one kernel returns (dq, dk, dv).
     di already carries any dlse adjustment; kv_lo/kv_hi are the per-(b,
-    q-block) visible-kv bounds (None = no skipping)."""
+    q-block) visible-kv bounds (None = no skipping). kcos2/ksin2 override
+    the k-side RoPE tables (used when the caller chunks the kv axis and
+    passes k/v/kv_seg slices in res); kv0/n_kv_tot place this call's kv
+    blocks in the global numbering so the dropout stream matches the
+    forward's."""
     q, k, v, q_seg, kv_seg, cos2, sin2, seed, o, lse = res
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
     use_bounds = kv_lo is not None
+    if kcos2 is None:
+        kcos2, ksin2 = cos2, sin2
+    if n_kv_tot is None:
+        n_kv_tot = Tk // block_kv
     q2 = q.reshape(B, Tq, H * D)
     k2 = k.reshape(B, Tk, H * D)
     v2 = v.reshape(B, Tk, H * D)
@@ -1266,7 +1279,7 @@ def _mh_bwd_fusedmk(scale, block_q, block_kv, dropout_rate, use_rope, res,
             pl.BlockSpec((Tk, D), lambda b, qi, ki, *_: (0, 0)),
             pl.BlockSpec((Tk, D), lambda b, qi, ki, *_: (0, 0)),
         ]
-        args += [cos2, sin2, cos2, sin2, cos2, sin2]
+        args += [cos2, sin2, kcos2, ksin2, kcos2, ksin2]
     specs += [
         pl.BlockSpec((1, block_q, H), lambda b, qi, ki, *_: (b, qi, 0)),
         pl.BlockSpec((1, block_q, H * D), lambda b, qi, ki, *_: (b, qi, 0)),
@@ -1275,7 +1288,8 @@ def _mh_bwd_fusedmk(scale, block_q, block_kv, dropout_rate, use_rope, res,
     args += [lse, do2, di]
     kernel = functools.partial(
         _mh_bwd_fusedmk_kernel, scale=scale, n_head=H, use_rope=use_rope,
-        dropout_rate=dropout_rate, use_bounds=use_bounds, block_kv=block_kv)
+        dropout_rate=dropout_rate, use_bounds=use_bounds, block_kv=block_kv,
+        n_kv_tot=n_kv_tot, kv0=kv0)
     with _interpret_ctx():
         dq, dk, dv = pl.pallas_call(
             kernel,
@@ -1341,15 +1355,59 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
                                    res, do, di)
         return dq, dk, dv, None, None, jnp.zeros_like(cos2), \
             jnp.zeros_like(sin2), None
-    if (not single_kv and FUSED_MULTIKV_BWD
-            and Tk * H * D * 12 <= FUSED_MULTIKV_MAX_BYTES):
-        # multi-kv fused backward: 5 dots/tile with full-length VMEM dk/dv
-        # accumulators (the 12 B/element = 2 fp32 scratch + 2 bf16 buffers)
-        dq, dk, dv = _mh_bwd_fusedmk(
-            scale, block_q, block_kv, dropout_rate, use_rope, res, do, di,
-            kv_lo if dq_bounds else None, kv_hi if dq_bounds else None)
-        return dq, dk, dv, None, None, jnp.zeros_like(cos2), \
-            jnp.zeros_like(sin2), None
+    if not single_kv and FUSED_MULTIKV_BWD:
+        unit = H * D * 12   # 2 fp32 scratch + 2 bf16 out buffers per kv row
+        if Tk * unit <= FUSED_MULTIKV_MAX_BYTES:
+            # multi-kv fused backward: 5 dots/tile with full-length VMEM
+            # dk/dv accumulators
+            dq, dk, dv = _mh_bwd_fusedmk(
+                scale, block_q, block_kv, dropout_rate, use_rope, res, do,
+                di, kv_lo if dq_bounds else None,
+                kv_hi if dq_bounds else None)
+            return dq, dk, dv, None, None, jnp.zeros_like(cos2), \
+                jnp.zeros_like(sin2), None
+        # kv axis too long for one set of VMEM accumulators: chunk it and
+        # call the fused kernel per chunk (the global lse makes each call's
+        # partial softmax exact — dq sums over chunks, dk/dv concatenate).
+        # Extra cost: q/do/lse/di are re-read once per chunk; the 5-dot
+        # saving dwarfs that at these lengths.
+        max_rows = (FUSED_MULTIKV_MAX_BYTES // unit) // block_kv * block_kv
+        chunk = 0
+        c = max_rows
+        while c >= block_kv:
+            if Tk % c == 0:
+                chunk = c
+                break
+            c -= block_kv
+        if chunk:
+            n_kv_tot = Tk // block_kv
+            dq = None
+            dks, dvs = [], []
+            for ci in range(Tk // chunk):
+                sl_t = slice(ci * chunk, (ci + 1) * chunk)
+                kv_seg_c = kv_seg[:, sl_t]
+                if dq_bounds:
+                    lo_c, hi_c = _seg_block_bounds(
+                        q_seg, kv_seg_c, block_q, block_kv)
+                else:
+                    lo_c = hi_c = None
+                res_c = (q, k[:, sl_t], v[:, sl_t], q_seg, kv_seg_c,
+                         cos2, sin2, seed, o, lse)
+                dq_c, dk_c, dv_c = _mh_bwd_fusedmk(
+                    scale, block_q, block_kv, dropout_rate, use_rope,
+                    res_c, do, di, lo_c, hi_c,
+                    kcos2=cos2[sl_t], ksin2=sin2[sl_t],
+                    n_kv_tot=n_kv_tot, kv0=ci * (chunk // block_kv))
+                dq_c = dq_c.astype(jnp.float32)   # sum chunks in fp32
+                dq = dq_c if dq is None else dq + dq_c
+                dks.append(dk_c)
+                dvs.append(dv_c)
+            dq = dq.astype(q.dtype)
+            dk = jnp.concatenate(dks, axis=1)
+            dv = jnp.concatenate(dvs, axis=1)
+            return dq, dk, dv, None, None, jnp.zeros_like(cos2), \
+                jnp.zeros_like(sin2), None
+        # no chunking possible (Tk not factorable) — fall through to split
     q = q.reshape(B, Tq, H * D)
     k = k.reshape(B, Tk, H * D)
     v = v.reshape(B, Tk, H * D)

@@ -385,6 +385,24 @@ def test_fused_multikv_backward_matches_split_and_oracle():
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
             err_msg=f"fused-mk d{name} vs split under dropout")
 
+    # kv-chunked variant (Tk beyond the VMEM gate): lower the gate so the
+    # chunked path activates at this toy size, re-check vs the oracle and
+    # the split pair — including the global dropout-stream numbering
+    old_max = fa.FUSED_MULTIKV_MAX_BYTES
+    fa.FUSED_MULTIKV_MAX_BYTES = 256 * 2 * 64 * 12   # 2 chunks at T=512
+    try:
+        for a, c, name in zip(g(True, True), g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-4,
+                err_msg=f"chunked fused-mk d{name} vs oracle")
+        for a, b, name in zip(g(True, True, 0.2), g(False, True, 0.2),
+                              "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+                err_msg=f"chunked fused-mk d{name} vs split under dropout")
+    finally:
+        fa.FUSED_MULTIKV_MAX_BYTES = old_max
+
 
 def test_int8_attention_accuracy():
     """Serving int8 kernel vs the fp32 oracle: per-element tolerance loose
