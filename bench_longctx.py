@@ -67,8 +67,8 @@ def run_ctx(ctx: int, mini: int, accum: int):
 
 # ctx 8192: one row/micro; the fused multi-kv backward's VMEM gate
 # (Tk*H*D*12 B > 64 MB) falls back to the split two-pass there
-CONFIGS = {2048: dict(mini=4, accum=4), 4096: dict(mini=2, accum=4),
-           8192: dict(mini=1, accum=4)}
+CONFIGS = {2048: dict(mini=8, accum=2), 4096: dict(mini=4, accum=2),
+           8192: dict(mini=2, accum=2)}
 
 
 def main():
