@@ -162,12 +162,18 @@ def attention(
                 # fully-masked tiles to the segment-skip pruning (measured
                 # faster than 1024-blocks from T=4096 up)
                 block_kv = min(block_kv, 512)
+            # Decoupled forward: at 1024 < T <= 2048 a sequence-spanning
+            # FORWARD kv block skips the online-softmax state (-13% fwd at
+            # T=2048) while the backward keeps its narrower blocks; the
+            # canonical-strip dropout draw keeps fwd/bwd masks identical.
+            bkv_fwd = T if 1024 < T <= 2048 else None
             return flash_attention(
                 q, k, v, segment_ids=segment_ids, scale=scale,
                 dropout_rate=dropout_rate, dropout_rng=dropout_rng,
                 rope=rope,
                 block_q=_fit_block(T, block_q),
-                block_kv=_fit_block(T, block_kv))
+                block_kv=_fit_block(T, block_kv),
+                block_kv_fwd=bkv_fwd)
         if rope is not None:
             from ..models.rope import apply_rope_half
             q, k = apply_rope_half(q, k, rope[0], rope[1])

@@ -76,6 +76,31 @@ def _dropout_keep(shape, rate: float, seed_base, unique):
     return pltpu.bitcast(bits, jnp.uint32) >= thresh
 
 
+def _dropout_keep_w(shape, rate, seed_base, base_unique, w0, n_w_tot,
+                    drop_w):
+    """Keep-mask drawn in canonical drop_w-wide column strips.
+
+    base_unique enumerates (b, h, q-block); strip j of this tile draws
+    with unique = base_unique * n_w_tot + (w0 + j), where w0 is the tile's
+    first strip in the GLOBAL kv numbering and n_w_tot the global strip
+    count. When drop_w equals the tile width (and so n_w_tot the kv grid
+    size, w0 the kv block index) this is exactly the historical per-tile
+    draw — strips only change the stream when a caller decouples the
+    forward and backward kv block sizes, and then they make both sides
+    draw identical masks regardless of their own tile widths."""
+    width = shape[1]
+    n = width // drop_w
+    if n <= 1:
+        return _dropout_keep(shape, rate, seed_base,
+                             base_unique * n_w_tot + w0)
+    parts = [
+        _dropout_keep((shape[0], drop_w), rate, seed_base,
+                      base_unique * n_w_tot + w0 + j)
+        for j in range(n)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -517,7 +542,7 @@ def _mh_scores(qrows, krows, h, D, half, mask_bias, scale,
 
 
 def _mh_fwd_kernel(seed_ref, *refs, scale, n_head, use_rope, dropout_rate,
-                   single_kv, use_bounds):
+                   single_kv, use_bounds, drop_w, n_w_tot):
     if use_bounds:
         lo_ref, hi_ref = refs[:2]
         refs = refs[2:]
@@ -567,9 +592,9 @@ def _mh_fwd_kernel(seed_ref, *refs, scale, n_head, use_rope, dropout_rate,
             if dropout_rate > 0.0:
                 b, qi = pl.program_id(0), pl.program_id(1)
                 nq = pl.num_programs(1)
-                unique = ((b * n_head + h) * nq + qi) * n_kv + kv_idx
-                keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0],
-                                     unique)
+                base = (b * n_head + h) * nq + qi
+                keep = _dropout_keep_w(p.shape, dropout_rate, seed_ref[0],
+                                       base, 0, n_w_tot, drop_w)
                 p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
             pv = jax.lax.dot(p.astype(dtype), vrows[:, sl],
                              preferred_element_type=jnp.float32)
@@ -604,9 +629,11 @@ def _mh_fwd_kernel(seed_ref, *refs, scale, n_head, use_rope, dropout_rate,
             if dropout_rate > 0.0:
                 b, qi = pl.program_id(0), pl.program_id(1)
                 nq = pl.num_programs(1)
-                unique = ((b * n_head + h) * nq + qi) * n_kv + kv_idx
-                keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0],
-                                     unique)
+                base = (b * n_head + h) * nq + qi
+                w_per = p.shape[1] // drop_w
+                keep = _dropout_keep_w(p.shape, dropout_rate, seed_ref[0],
+                                       base, kv_idx * w_per, n_w_tot,
+                                       drop_w)
                 p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
 
             acc_scr[:, sl] = acc_scr[:, sl] * alpha + jax.lax.dot(
@@ -646,10 +673,12 @@ def _mh_fwd_kernel(seed_ref, *refs, scale, n_head, use_rope, dropout_rate,
 
 
 def _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, *, scale, block_q,
-            block_kv, dropout_rate, use_rope, use_skip=False):
+            block_kv, dropout_rate, use_rope, use_skip=False, drop_w=None):
     """Returns (o (B,T,H,D), lse (B,Tq,H))."""
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
+    if drop_w is None:
+        drop_w = block_kv
     grid = (B, Tq // block_q, Tk // block_kv)
     single_kv = Tk == block_kv
     use_bounds = bool(use_skip) and not single_kv
@@ -666,7 +695,7 @@ def _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, *, scale, block_q,
     kernel = functools.partial(
         _mh_fwd_kernel, scale=scale, n_head=H, use_rope=use_rope,
         dropout_rate=dropout_rate, single_kv=single_kv,
-        use_bounds=use_bounds)
+        use_bounds=use_bounds, drop_w=drop_w, n_w_tot=Tk // drop_w)
     out_shape = [
         jax.ShapeDtypeStruct((B, Tq, H * D), q.dtype),
         jax.ShapeDtypeStruct((B, Tq, H), jnp.float32),
@@ -738,7 +767,7 @@ def _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, *, scale, block_q,
 
 
 def _mh_bwd_dkv_kernel(seed_ref, *refs, scale, n_head, use_rope,
-                       dropout_rate, use_bounds):
+                       dropout_rate, use_bounds, drop_w, n_w_tot):
     if use_bounds:
         lo_ref, hi_ref = refs[:2]
         refs = refs[2:]
@@ -790,10 +819,10 @@ def _mh_bwd_dkv_kernel(seed_ref, *refs, scale, n_head, use_rope,
 
             if dropout_rate > 0.0:
                 b, kv_i = pl.program_id(0), pl.program_id(1)
-                n_kv = pl.num_programs(1)
-                unique = ((b * n_head + h) * n_q + q_idx) * n_kv + kv_i
-                keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0],
-                                     unique)
+                base = (b * n_head + h) * n_q + q_idx
+                w_per = p.shape[1] // drop_w
+                keep = _dropout_keep_w(p.shape, dropout_rate, seed_ref[0],
+                                       base, kv_i * w_per, n_w_tot, drop_w)
                 inv = 1.0 / (1.0 - dropout_rate)
                 p_drop = jnp.where(keep, p * inv, 0.0)
                 dp = jnp.where(keep, dp * inv, 0.0)
@@ -831,7 +860,7 @@ def _mh_bwd_dkv_kernel(seed_ref, *refs, scale, n_head, use_rope,
 
 
 def _mh_bwd_dq_kernel(seed_ref, *refs, scale, n_head, use_rope, dropout_rate,
-                      single_kv, use_bounds):
+                      single_kv, use_bounds, drop_w, n_w_tot):
     if use_bounds:
         lo_ref, hi_ref = refs[:2]
         refs = refs[2:]
@@ -890,9 +919,11 @@ def _mh_bwd_dq_kernel(seed_ref, *refs, scale, n_head, use_rope, dropout_rate,
             if dropout_rate > 0.0:
                 b, q_i = pl.program_id(0), pl.program_id(1)
                 nq = pl.num_programs(1)
-                unique = ((b * n_head + h) * nq + q_i) * n_kv + kv_idx
-                keep = _dropout_keep(dp.shape, dropout_rate, seed_ref[0],
-                                     unique)
+                base = (b * n_head + h) * nq + q_i
+                w_per = dp.shape[1] // drop_w
+                keep = _dropout_keep_w(dp.shape, dropout_rate, seed_ref[0],
+                                       base, kv_idx * w_per, n_w_tot,
+                                       drop_w)
                 dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
 
             ds = p * (dp - di_ref[0][:, h:h + 1]) * scale
@@ -928,7 +959,8 @@ def _mh_bwd_dq_kernel(seed_ref, *refs, scale, n_head, use_rope, dropout_rate,
 
 
 def _mh_bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
-                         *rest, scale, n_head, use_rope, dropout_rate):
+                         *rest, scale, n_head, use_rope, dropout_rate,
+                         drop_w, n_w_tot):
     """Single-kv fused backward: when ONE kv block covers the sequence, the
     dq reduction is trivial, so dK, dV AND dQ come out of one pass over q
     blocks — the split dkv/dq kernels each recompute the s and dp dots (7
@@ -977,11 +1009,11 @@ def _mh_bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
             preferred_element_type=jnp.float32)
 
         if dropout_rate > 0.0:
-            # same per-tile stream as the forward's single-kv branch:
-            # unique = ((b*H + h)*nq + qi)*1 + 0
+            # same strip stream as the forward's single-kv branch
             b = pl.program_id(0)
-            unique = (b * n_head + h) * n_q + q_idx
-            keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0], unique)
+            base = (b * n_head + h) * n_q + q_idx
+            keep = _dropout_keep_w(p.shape, dropout_rate, seed_ref[0],
+                                   base, 0, n_w_tot, drop_w)
             inv = 1.0 / (1.0 - dropout_rate)
             p_drop = jnp.where(keep, p * inv, 0.0)
             dp = jnp.where(keep, dp * inv, 0.0)
@@ -1015,12 +1047,15 @@ def _mh_bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _mh_bwd_fused(scale, block_q, dropout_rate, use_rope, res, do, di):
+def _mh_bwd_fused(scale, block_q, dropout_rate, use_rope, res, do, di,
+                  drop_w=None):
     """Single-kv fused backward dispatch (block_kv == Tk): one kernel
     returns (dq, dk, dv). di already carries any dlse adjustment."""
     q, k, v, q_seg, kv_seg, cos2, sin2, seed, o, lse = res
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
+    if drop_w is None:
+        drop_w = Tk
     q2 = q.reshape(B, Tq, H * D)
     k2 = k.reshape(B, Tk, H * D)
     v2 = v.reshape(B, Tk, H * D)
@@ -1054,7 +1089,7 @@ def _mh_bwd_fused(scale, block_q, dropout_rate, use_rope, res, do, di):
     args += [lse, do2, di]
     kernel = functools.partial(
         _mh_bwd_fused_kernel, scale=scale, n_head=H, use_rope=use_rope,
-        dropout_rate=dropout_rate)
+        dropout_rate=dropout_rate, drop_w=drop_w, n_w_tot=Tk // drop_w)
     with _interpret_ctx():
         dq, dk, dv = pl.pallas_call(
             kernel,
@@ -1088,7 +1123,7 @@ def _mh_bwd_fused(scale, block_q, dropout_rate, use_rope, res, do, di):
 
 def _mh_bwd_fusedmk_kernel(seed_ref, *refs, scale, n_head, use_rope,
                            dropout_rate, use_bounds, block_kv,
-                           n_kv_tot, kv0):
+                           drop_w, n_w_tot, kv0_w):
     """Fused multi-kv backward: grid (B, q-blocks, kv-blocks), computing dq,
     dk AND dv in one pass (5 dots/tile vs the split dkv/dq pair's 7 — the
     pair recomputes the s and dp dots in each pass). dq accumulates in a
@@ -1159,14 +1194,15 @@ def _mh_bwd_fusedmk_kernel(seed_ref, *refs, scale, n_head, use_rope,
                 preferred_element_type=jnp.float32)
 
             if dropout_rate > 0.0:
-                # identical stream to the forward's multi-kv branch; when
-                # the kv axis is chunked across calls, kv0/n_kv_tot place
-                # this call's tiles in the GLOBAL kv numbering
+                # identical strip stream to the forward; when the kv axis
+                # is chunked across calls, kv0_w/n_w_tot place this call's
+                # strips in the GLOBAL kv numbering
                 b = pl.program_id(0)
-                unique = ((b * n_head + h) * n_q + q_idx) * n_kv_tot \
-                    + (kv_idx + kv0)
-                keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0],
-                                     unique)
+                base = (b * n_head + h) * n_q + q_idx
+                w_per = p.shape[1] // drop_w
+                keep = _dropout_keep_w(p.shape, dropout_rate, seed_ref[0],
+                                       base, kv0_w + kv_idx * w_per,
+                                       n_w_tot, drop_w)
                 inv = 1.0 / (1.0 - dropout_rate)
                 p_drop = jnp.where(keep, p * inv, 0.0)
                 dp = jnp.where(keep, dp * inv, 0.0)
@@ -1220,7 +1256,7 @@ def _mh_bwd_fusedmk_kernel(seed_ref, *refs, scale, n_head, use_rope,
 
 def _mh_bwd_fusedmk(scale, block_q, block_kv, dropout_rate, use_rope, res,
                     do, di, kv_lo, kv_hi, kcos2=None, ksin2=None,
-                    n_kv_tot=None, kv0=0):
+                    n_kv_tot=None, kv0=0, drop_w=None):
     """Fused multi-kv backward dispatch: one kernel returns (dq, dk, dv).
     di already carries any dlse adjustment; kv_lo/kv_hi are the per-(b,
     q-block) visible-kv bounds (None = no skipping). kcos2/ksin2 override
@@ -1236,6 +1272,8 @@ def _mh_bwd_fusedmk(scale, block_q, block_kv, dropout_rate, use_rope, res,
         kcos2, ksin2 = cos2, sin2
     if n_kv_tot is None:
         n_kv_tot = Tk // block_kv
+    if drop_w is None:
+        drop_w = block_kv
     q2 = q.reshape(B, Tq, H * D)
     k2 = k.reshape(B, Tk, H * D)
     v2 = v.reshape(B, Tk, H * D)
@@ -1286,10 +1324,11 @@ def _mh_bwd_fusedmk(scale, block_q, block_kv, dropout_rate, use_rope, res,
         pl.BlockSpec((1, block_q, H), lambda b, qi, ki, *_: (b, qi, 0)),
     ]
     args += [lse, do2, di]
+    w_per = block_kv // drop_w
     kernel = functools.partial(
         _mh_bwd_fusedmk_kernel, scale=scale, n_head=H, use_rope=use_rope,
         dropout_rate=dropout_rate, use_bounds=use_bounds, block_kv=block_kv,
-        n_kv_tot=n_kv_tot, kv0=kv0)
+        drop_w=drop_w, n_w_tot=n_kv_tot * w_per, kv0_w=kv0 * w_per)
     with _interpret_ctx():
         dq, dk, dv = pl.pallas_call(
             kernel,
@@ -1325,7 +1364,7 @@ def _mh_bwd_fusedmk(scale, block_q, block_kv, dropout_rate, use_rope, res,
 
 
 def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
-            dlse=None, use_skip=False):
+            dlse=None, use_skip=False, drop_w=None):
     """Shared backward. dlse (B, Tq, H), natural-log space: cotangent of
     the lse output for the lse-exposing variant (_flash_mh_lse). It folds
     into the existing kernels with zero kernel changes: the kernels compute
@@ -1335,6 +1374,9 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
     do = g
     B, Tq, H, D = q.shape
     Tk = k.shape[1]
+    if drop_w is None:
+        drop_w = block_kv
+    n_w_tot = Tk // drop_w
     single_kv = Tk == block_kv
     dkv_bounds = bool(use_skip) and Tq != block_q
     dq_bounds = bool(use_skip) and not single_kv
@@ -1352,7 +1394,7 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
         # one kv block covers the sequence: fused single-pass backward
         # (dq, dk, dv from one kernel — the split pair recomputes s/dp)
         dq, dk, dv = _mh_bwd_fused(scale, block_q, dropout_rate, use_rope,
-                                   res, do, di)
+                                   res, do, di, drop_w=drop_w)
         return dq, dk, dv, None, None, jnp.zeros_like(cos2), \
             jnp.zeros_like(sin2), None
     if not single_kv and FUSED_MULTIKV_BWD:
@@ -1363,7 +1405,7 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
             dq, dk, dv = _mh_bwd_fusedmk(
                 scale, block_q, block_kv, dropout_rate, use_rope, res, do,
                 di, kv_lo if dq_bounds else None,
-                kv_hi if dq_bounds else None)
+                kv_hi if dq_bounds else None, drop_w=drop_w)
             return dq, dk, dv, None, None, jnp.zeros_like(cos2), \
                 jnp.zeros_like(sin2), None
         # kv axis too long for one set of VMEM accumulators: chunk it and
@@ -1397,7 +1439,8 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
                     scale, block_q, block_kv, dropout_rate, use_rope,
                     res_c, do, di, lo_c, hi_c,
                     kcos2=cos2[sl_t], ksin2=sin2[sl_t],
-                    n_kv_tot=n_kv_tot, kv0=ci * (chunk // block_kv))
+                    n_kv_tot=n_kv_tot, kv0=ci * (chunk // block_kv),
+                    drop_w=drop_w)
                 dq_c = dq_c.astype(jnp.float32)   # sum chunks in fp32
                 dq = dq_c if dq is None else dq + dq_c
                 dks.append(dk_c)
@@ -1461,7 +1504,8 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
     dkv_args += [lse, do, di]
     dkv_kernel = functools.partial(
         _mh_bwd_dkv_kernel, scale=scale, n_head=H, use_rope=use_rope,
-        dropout_rate=dropout_rate, use_bounds=dkv_bounds)
+        dropout_rate=dropout_rate, use_bounds=dkv_bounds,
+        drop_w=drop_w, n_w_tot=n_w_tot)
     with _interpret_ctx():
         dk, dv = pl.pallas_call(
             dkv_kernel,
@@ -1535,7 +1579,7 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
         dq_kernel = functools.partial(
             _mh_bwd_dq_kernel, scale=scale, n_head=H, use_rope=use_rope,
             dropout_rate=dropout_rate, single_kv=single_kv,
-            use_bounds=dq_bounds)
+            use_bounds=dq_bounds, drop_w=drop_w, n_w_tot=n_w_tot)
         dq = pl.pallas_call(
             dq_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1559,29 +1603,38 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
         jnp.zeros_like(sin2), None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _flash_mh(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale, block_q,
-              block_kv, dropout_rate, use_rope, use_skip):
+              block_kv, dropout_rate, use_rope, use_skip, block_kv_fwd):
+    """block_kv_fwd decouples the FORWARD kv block size from the
+    backward's (block_kv): a sequence-spanning forward block skips the
+    online-softmax state (13% faster fwd at T=2048) while the backward
+    keeps the narrower blocks the fused 5-dot kernels prefer. The dropout
+    streams stay aligned because both sides draw keep-masks in canonical
+    min(block_kv, block_kv_fwd)-wide strips (_dropout_keep_w)."""
+    drop_w = min(block_kv, block_kv_fwd)
     o, _ = _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale=scale,
-                   block_q=block_q, block_kv=block_kv,
+                   block_q=block_q, block_kv=block_kv_fwd,
                    dropout_rate=dropout_rate, use_rope=use_rope,
-                   use_skip=use_skip)
+                   use_skip=use_skip, drop_w=drop_w)
     return o
 
 
 def _flash_mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale, block_q,
-                  block_kv, dropout_rate, use_rope, use_skip):
+                  block_kv, dropout_rate, use_rope, use_skip, block_kv_fwd):
+    drop_w = min(block_kv, block_kv_fwd)
     o, lse = _mh_fwd(q, k, v, q_seg, kv_seg, cos2, sin2, seed, scale=scale,
-                     block_q=block_q, block_kv=block_kv,
+                     block_q=block_q, block_kv=block_kv_fwd,
                      dropout_rate=dropout_rate, use_rope=use_rope,
-                     use_skip=use_skip)
+                     use_skip=use_skip, drop_w=drop_w)
     return o, (q, k, v, q_seg, kv_seg, cos2, sin2, seed, o, lse)
 
 
 def _flash_mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, use_skip,
-                  res, g):
+                  block_kv_fwd, res, g):
     return _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
-                   use_skip=use_skip)
+                   use_skip=use_skip, drop_w=min(block_kv, block_kv_fwd))
 
 
 _flash_mh.defvjp(_flash_mh_fwd, _flash_mh_bwd)
@@ -1667,6 +1720,7 @@ def flash_attention(
     rope: Optional[tuple] = None,       # (cos, sin) (T, D/2) from rope_tables
     multi_head: bool = True,
     segment_skip: bool = True,
+    block_kv_fwd: Optional[int] = None,  # decoupled FORWARD kv block size
 ) -> jnp.ndarray:
     """Flash attention over (B, T, H, D) inputs with segment-id masking.
 
@@ -1690,6 +1744,7 @@ def flash_attention(
     """
     B, T, H, D = q.shape
     assert T % block_q == 0 and T % block_kv == 0, (T, block_q, block_kv)
+    assert block_kv_fwd is None or T % block_kv_fwd == 0
 
     skip = segment_skip and segment_ids is not None and multi_head
     if segment_ids is None:
@@ -1709,7 +1764,7 @@ def flash_attention(
         # lane-aligned multiplies + one concat (see _rope_rot)
         return _flash_mh_apply(q, k, v, segment_ids, seed, scale,
                                block_q, block_kv, dropout_rate, rope,
-                               use_skip=skip)
+                               use_skip=skip, block_kv_fwd=block_kv_fwd)
 
     assert rope is None, "rope fusion requires the multi_head kernel"
     # the kernel consumes the model's native (B, T, H, D) layout directly —
@@ -1762,7 +1817,7 @@ def flash_attention_tp(q, k, v, *, segment_ids=None, scale,
 
 
 def _flash_mh_apply(q, k, v, seg, seed, scale, block_q, block_kv,
-                    dropout_rate, rope, use_skip=False):
+                    dropout_rate, rope, use_skip=False, block_kv_fwd=None):
     """Shared entry into the multi-head kernel: build full-width rope
     tables (or dummies) and call the custom-vjp wrapper."""
     T = q.shape[1]
@@ -1778,6 +1833,10 @@ def _flash_mh_apply(q, k, v, seg, seed, scale, block_q, block_kv,
         sin2 = jax.lax.stop_gradient(sin2)
     else:
         cos2 = sin2 = jnp.zeros((1, 1), jnp.float32)
+    if block_kv_fwd is None:
+        block_kv_fwd = block_kv
+    assert block_kv_fwd % min(block_kv, block_kv_fwd) == 0 \
+        and block_kv % min(block_kv, block_kv_fwd) == 0
     return _flash_mh(q, k, v, seg, seg, cos2, sin2, seed, scale,
                      block_q, block_kv, float(dropout_rate), use_rope,
-                     bool(use_skip))
+                     bool(use_skip), int(block_kv_fwd))

@@ -404,6 +404,41 @@ def test_fused_multikv_backward_matches_split_and_oracle():
         fa.FUSED_MULTIKV_MAX_BYTES = old_max
 
 
+def test_decoupled_fwd_block_matches_baseline():
+    """block_kv_fwd decouples the forward kv block from the backward's.
+    Forward output must be bit-identical to the coupled run (same math,
+    different tiling), and grads must still match the oracle."""
+    q, k, v, seg = _inputs(B=2, T=512, H=2, D=64, seed=55)
+
+    def run(block_kv_fwd):
+        with pltpu.force_tpu_interpret_mode():
+            return flash_attention(q, k, v, segment_ids=seg, scale=SCALE,
+                                   block_q=128, block_kv=128,
+                                   block_kv_fwd=block_kv_fwd)
+
+    # same math, different tiling: online-softmax vs direct normalisation
+    # round differently, so tight allclose rather than bit-equality
+    np.testing.assert_allclose(np.asarray(run(None)), np.asarray(run(512)),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            o = flash_attention(q, k, v, segment_ids=seg, scale=SCALE,
+                                block_q=128, block_kv=128, block_kv_fwd=512)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(q, k, v):
+        o = xla_attention(q, k, v, scale=SCALE, segment_ids=seg)
+        return jnp.sum(o * jnp.cos(o))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"decoupled d{name} vs oracle")
+
+
 def test_int8_attention_accuracy():
     """Serving int8 kernel vs the fp32 oracle: per-element tolerance loose
     (int8), but cosine must clear the serving bar (>=0.999)."""
