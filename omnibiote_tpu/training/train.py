@@ -17,6 +17,7 @@ TrainConfig.
 """
 from __future__ import annotations
 
+import threading
 import time
 from typing import Optional, Tuple
 
@@ -84,11 +85,17 @@ def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
 
         if A == 1:
             # no accumulation: skip the scan and its full-size fp32 grad
-            # carry (one read+write of the whole grad tree per micro)
+            # carry (one read+write of the whole grad tree per micro).
+            # grad_dtype='bfloat16' halves this transient buffer (2.4 GB at
+            # 1.2B); the weight multiply stays in the grad dtype (w is 0/1,
+            # exact in bf16) so no fp32 buffer is materialized — clip/Adam
+            # still compute in fp32 (optim.py).
+            gdt = jnp.dtype(getattr(train_cfg, "grad_dtype", "float32"))
             w = micro_weights[0]
             loss, aux, grads = micro_grad(
                 params_c, tokens[0], segments[0], rngs[0])
-            grads = jax.tree.map(lambda g: w * g.astype(jnp.float32), grads)
+            grads = jax.tree.map(
+                lambda g: g.astype(gdt) * w.astype(gdt), grads)
             loss_sum = w * loss
             masked = w * aux["masked_count"]
             tokens_seen = (w > 0) * aux["num_tokens"]
@@ -116,7 +123,11 @@ def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
                 (tokens, segments, micro_weights, rngs),
             )
         n_active = jnp.maximum(jnp.sum(micro_weights), 1.0)
-        grads = jax.tree.map(lambda g: g / n_active, grads)
+        # dtype-preserving divide: on the A=1 bf16-grad path, g / f32-scalar
+        # would promote (and materialize) the full tree in fp32
+        grads = jax.tree.map(
+            lambda g: (g.astype(jnp.float32) / n_active).astype(g.dtype),
+            grads)
         mean_loss = loss_sum / n_active
 
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -325,8 +336,13 @@ class Trainer:
         self.reader_states = reader_states or []
         # step -> deep copy of reader_states taken BEFORE that step's batch
         # was staged; lets checkpoints record the stream position the step
-        # will actually consume even when the prefetch thread runs ahead
+        # will actually consume even when the prefetch thread runs ahead.
+        # _snap_lock serializes the prefetch thread's snapshot+stage (which
+        # mutates the live ReaderStates through batch_iter) against the
+        # checkpoint-time read, so a save can never observe a torn/advancing
+        # stream position (r3 ADVICE)
         self._reader_snapshots = {}
+        self._snap_lock = threading.Lock()
         self.metrics_sink = metrics_sink
         self.prefetch = prefetch
         self._staged = None      # lazily-built staged step-input stream
@@ -430,15 +446,21 @@ class Trainer:
         """
         step = self.step
         while True:
-            if self.reader_states:
-                self._reader_snapshots[step] = [
-                    s.copy() for s in self.reader_states]
-                for k in [k for k in self._reader_snapshots
-                          if k < self.step]:
-                    del self._reader_snapshots[k]
-            eff = effective_batch_size(step, self.total_iters,
-                                       self.train_cfg, self.global_micro)
-            yield self._stage(eff)
+            # hold _snap_lock across snapshot + stage: _stage advances the
+            # live ReaderStates (via batch_iter), and a checkpoint read must
+            # see either the pre-stage snapshot or a quiescent live state,
+            # never a mid-mutation one (r3 ADVICE)
+            with self._snap_lock:
+                if self.reader_states:
+                    self._reader_snapshots[step] = [
+                        s.copy() for s in self.reader_states]
+                    for k in [k for k in self._reader_snapshots
+                              if k < self.step]:
+                        del self._reader_snapshots[k]
+                eff = effective_batch_size(step, self.total_iters,
+                                           self.train_cfg, self.global_micro)
+                staged = self._stage(eff)
+            yield staged
             step += 1
 
     def _staged_iter(self):
@@ -453,9 +475,15 @@ class Trainer:
 
     def reader_states_for_checkpoint(self):
         """Stream position for the NEXT step to train (self.step): the
-        snapshot taken before that step's batch was staged, or the live
-        states when nothing has been staged ahead."""
-        return self._reader_snapshots.get(self.step, self.reader_states)
+        snapshot taken before that step's batch was staged, or a copy of the
+        live states when nothing has been staged ahead. Taken under
+        _snap_lock so the prefetch thread cannot be mid-stage (mutating the
+        live states) while they are serialized (r3 ADVICE)."""
+        with self._snap_lock:
+            snap = self._reader_snapshots.get(self.step)
+            if snap is not None:
+                return snap
+            return [s.copy() for s in self.reader_states]
 
     def close(self):
         """Shut down the prefetch thread (if any) and join any in-flight
