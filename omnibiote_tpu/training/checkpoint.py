@@ -42,14 +42,34 @@ def _flatten(tree, prefix=""):
     return out
 
 
+_BF16_SUFFIX = "::bf16"
+
+
 def save_pytree(path: str, tree) -> None:
+    """npz write. bfloat16 leaves (moment_dtype/grad_dtype levers) are not
+    a native numpy dtype — store their raw bits as uint16 under a marked
+    key and re-view at load; all other dtypes round-trip as-is."""
+    import ml_dtypes
     flat = _flatten(tree)
-    np.savez(path, **flat)
+    out = {}
+    for k, v in flat.items():
+        if v.dtype == ml_dtypes.bfloat16:
+            out[k + _BF16_SUFFIX] = v.view(np.uint16)
+        else:
+            out[k] = v
+    np.savez(path, **out)
 
 
 def load_pytree_flat(path: str) -> Dict[str, np.ndarray]:
+    import ml_dtypes
     with np.load(path, allow_pickle=False) as z:
-        return {k: z[k] for k in z.files}
+        out = {}
+        for k in z.files:
+            if k.endswith(_BF16_SUFFIX):
+                out[k[:-len(_BF16_SUFFIX)]] = z[k].view(ml_dtypes.bfloat16)
+            else:
+                out[k] = z[k]
+        return out
 
 
 def restore_like(template, flat: Dict[str, np.ndarray], prefix=""):
@@ -73,6 +93,153 @@ def restore_like(template, flat: Dict[str, np.ndarray], prefix=""):
 
 def checkpoint_dir(save_dir: str, save_name: str, tokens: int) -> str:
     return os.path.join(save_dir, f"{save_name}_{tokens}")
+
+
+# --------------------------------------------------------------------------
+# Multi-process (pod) support: per-process addressable shards
+# --------------------------------------------------------------------------
+#
+# On a multi-process pod with fsdp/tp/pp sharding, jax.device_get on the
+# full tree raises (arrays are not fully addressable from any one process).
+# Instead every process writes ONLY its addressable shards — exactly one
+# process globally per unique shard (replica_id == 0) — into its own
+# `<name>.shard<pid>.npz`, with the global slice encoded in the key:
+#   "<leaf-key>@<start>:<stop>,<start>:<stop>"    (scalars: "<leaf-key>@")
+# Restore streams every shard file, reassembles each leaf's global array,
+# and re-places it under the restoring trainer's target sharding via
+# jax.make_array_from_callback — so process count and layout may differ
+# between save and restore. Reference analogue: rank-0 torch.save
+# (/root/reference/training/train_encoder.py:412-423), which cannot save a
+# sharded state at all.
+
+def _index_key(leaf_key: str, index, shape) -> str:
+    parts = []
+    for sl, dim in zip(index, shape):
+        start = 0 if sl.start is None else int(sl.start)
+        stop = dim if sl.stop is None else int(sl.stop)
+        parts.append(f"{start}:{stop}")
+    return f"{leaf_key}@{','.join(parts)}"
+
+
+def _parse_index_key(key: str):
+    leaf_key, _, idx = key.rpartition("@")
+    if not idx:
+        return leaf_key, ()
+    slices = []
+    for part in idx.split(","):
+        start, stop = part.split(":")
+        slices.append(slice(int(start), int(stop)))
+    return leaf_key, tuple(slices)
+
+
+def _local_shards(tree) -> Dict[str, np.ndarray]:
+    """Flatten `tree` to {key@slice: np.ndarray} holding this process's
+    addressable, replica-0 shards (exactly one global writer per slice)."""
+    flat = {}
+    for leaf_key, leaf in _flatten_leaves(tree):
+        if not hasattr(leaf, "addressable_shards"):
+            # host-side scalar/numpy leaf: identical on every process;
+            # process 0 owns it
+            import jax
+            if jax.process_index() == 0:
+                arr = np.asarray(leaf)
+                flat[_index_key(leaf_key, (slice(0, d) for d in arr.shape),
+                                arr.shape)] = arr
+            continue
+        for shard in leaf.addressable_shards:
+            if shard.replica_id != 0:
+                continue
+            arr = np.asarray(shard.data)
+            flat[_index_key(leaf_key, shard.index, leaf.shape)] = arr
+    return flat
+
+
+def _flatten_leaves(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            yield from _flatten_leaves(tree[k], f"{prefix}{k}/")
+        return
+    if isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _flatten_leaves(v, f"{prefix}{i}/")
+        return
+    yield prefix[:-1], tree
+
+
+def _save_shards(path_base: str, tree) -> None:
+    import jax
+    import ml_dtypes
+    flat = _local_shards(tree)
+    out = {}
+    for k, v in flat.items():
+        if v.dtype == ml_dtypes.bfloat16:
+            out[k + _BF16_SUFFIX] = v.view(np.uint16)
+        else:
+            out[k] = v
+    np.savez(f"{path_base}.shard{jax.process_index()}.npz", **out)
+
+
+def _load_all_shards(dirpath: str, name: str) -> Dict[str, Dict]:
+    """Read every `<name>.shard*.npz` in `dirpath`; returns
+    {leaf_key: {index_tuple: np.ndarray}}."""
+    import glob
+    import ml_dtypes
+    by_leaf: Dict[str, Dict] = {}
+    for f in sorted(glob.glob(os.path.join(dirpath, f"{name}.shard*.npz"))):
+        with np.load(f, allow_pickle=False) as z:
+            for k in z.files:
+                arr = z[k]
+                if k.endswith(_BF16_SUFFIX):
+                    arr = arr.view(ml_dtypes.bfloat16)
+                    k = k[:-len(_BF16_SUFFIX)]
+                leaf_key, index = _parse_index_key(k)
+                by_leaf.setdefault(leaf_key, {})[index] = arr
+    return by_leaf
+
+
+def _assemble_leaf(shards: Dict, shape, dtype) -> np.ndarray:
+    """Fill a global ndarray from {index: shard} pieces."""
+    if not shape:
+        (arr,) = shards.values()
+        return np.asarray(arr, dtype=dtype).reshape(())
+    out = np.zeros(shape, dtype=dtype)
+    for index, arr in shards.items():
+        out[index if index else tuple(slice(0, d) for d in shape)] = arr
+    return out
+
+
+def restore_tree_sharded(dirpath: str, name: str, template):
+    """Rebuild a pytree from per-process shard files, re-placed under the
+    template leaves' shardings (which may differ from the saving run's)."""
+    import jax
+
+    by_leaf = _load_all_shards(dirpath, name)
+
+    def rebuild(leaf_key, leaf):
+        shards = by_leaf[leaf_key]
+        if not hasattr(leaf, "dtype"):
+            arr = _assemble_leaf(shards, (), np.asarray(leaf).dtype)
+            return type(leaf)(arr)
+        host = _assemble_leaf(shards, leaf.shape, leaf.dtype)
+        sharding = getattr(leaf, "sharding", None)
+        if sharding is None or not hasattr(leaf, "addressable_shards"):
+            return host
+        return jax.make_array_from_callback(
+            leaf.shape, sharding, lambda idx: host[idx])
+
+    keys = dict(_flatten_leaves(template))
+    rebuilt = {k: rebuild(k, v) for k, v in keys.items()}
+
+    def walk(node, prefix=""):
+        if isinstance(node, dict):
+            return {k: walk(v, f"{prefix}{k}/") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            vals = [walk(v, f"{prefix}{i}/") for i, v in enumerate(node)]
+            return (type(node)(vals) if not hasattr(node, "_fields")
+                    else type(node)(*vals))
+        return rebuilt[prefix[:-1]]
+
+    return walk(template)
 
 
 def save_checkpoint(trainer, final: bool = False,
@@ -100,28 +267,18 @@ def save_checkpoint(trainer, final: bool = False,
     tmp = path + ".tmp"
     os.makedirs(tmp, exist_ok=True)
 
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        return _save_checkpoint_multiproc(trainer, path, tmp, final)
+
     params_host = jax.device_get(trainer.params)
     opt_host = jax.device_get(trainer.opt_state)
-    meta = {
-        "step": trainer.step,
-        "trained_tokens": tokens,
-        "total_iters": trainer.total_iters,
-        "rng": np.asarray(jax.random.key_data(trainer.rng)
-                          if jax.dtypes.issubdtype(trainer.rng.dtype, jax.dtypes.prng_key)
-                          else trainer.rng).tolist(),
-        "rng_impl": (str(jax.random.key_impl(trainer.rng))
-                     if jax.dtypes.issubdtype(trainer.rng.dtype,
-                                              jax.dtypes.prng_key) else "raw"),
-        # reader positions: the snapshot taken BEFORE the batch for
-        # trainer.step was staged (with prefetch, the live states have run
-        # ahead by the staged-but-unconsumed lookahead; the snapshot makes
-        # the resumed run restage exactly the rows this run will consume)
-        "reader_states": [s.to_dict()
-                          for s in trainer.reader_states_for_checkpoint()],
-        "model_cfg": {k: v for k, v in vars(trainer.model_cfg).items()},
-        "train_cfg": {k: (v if not isinstance(v, tuple) else list(v))
-                      for k, v in vars(trainer.train_cfg).items()},
-    }
+    # reader positions in meta: the snapshot taken BEFORE the batch for
+    # trainer.step was staged (with prefetch, the live states have run
+    # ahead by the staged-but-unconsumed lookahead; the snapshot makes
+    # the resumed run restage exactly the rows this run will consume)
+    meta = _build_meta(trainer)
+    meta["sharded"] = False
     prev_path = getattr(trainer, "_last_ckpt_path", None)
 
     def _write():
@@ -162,6 +319,62 @@ def save_checkpoint(trainer, final: bool = False,
     return path
 
 
+def _save_checkpoint_multiproc(trainer, path: str, tmp: str,
+                               final: bool) -> str:
+    """Pod-safe save: every process writes its addressable shards (one
+    global writer per unique shard); process 0 writes meta.json and performs
+    the atomic rename after a cross-process barrier. Synchronous (the
+    per-process write is only this host's slice — a fraction of the state)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    tc = trainer.train_cfg
+    _save_shards(os.path.join(tmp, "params"), trainer.params)
+    _save_shards(os.path.join(tmp, "opt_state"),
+                 _optstate_to_tree(trainer.opt_state))
+    if jax.process_index() == 0:
+        meta = _build_meta(trainer)
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+    prev_path = getattr(trainer, "_last_ckpt_path", None)
+    # all shard files must land before the rename makes the dir visible
+    multihost_utils.sync_global_devices("obt_ckpt_write")
+    if jax.process_index() == 0:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        if prev_path and prev_path != path and os.path.exists(prev_path) \
+                and not final:
+            shutil.rmtree(prev_path)
+    multihost_utils.sync_global_devices("obt_ckpt_rename")
+    trainer._last_ckpt_path = path
+    return path
+
+
+def _build_meta(trainer) -> Dict:
+    import jax
+    tokens = int(trainer.trained_tokens)
+    return {
+        "step": trainer.step,
+        "trained_tokens": tokens,
+        "total_iters": trainer.total_iters,
+        "rng": np.asarray(
+            jax.random.key_data(trainer.rng)
+            if jax.dtypes.issubdtype(trainer.rng.dtype, jax.dtypes.prng_key)
+            else trainer.rng).tolist(),
+        "rng_impl": (str(jax.random.key_impl(trainer.rng))
+                     if jax.dtypes.issubdtype(trainer.rng.dtype,
+                                              jax.dtypes.prng_key)
+                     else "raw"),
+        "reader_states": [s.to_dict()
+                          for s in trainer.reader_states_for_checkpoint()],
+        "model_cfg": {k: v for k, v in vars(trainer.model_cfg).items()},
+        "train_cfg": {k: (v if not isinstance(v, tuple) else list(v))
+                      for k, v in vars(trainer.train_cfg).items()},
+        "sharded": True,
+    }
+
+
 def _optstate_to_tree(opt_state):
     """optax states are namedtuples; convert to nested lists/dicts of leaves
     via jax.tree flatten with structure kept separately at restore time."""
@@ -184,26 +397,39 @@ def restore_into_trainer(trainer, path: str) -> None:
     import jax.numpy as jnp
     from ..data.loader import ReaderState
 
-    flat = load_pytree_flat(os.path.join(path, "params.npz"))
-    trainer.params = restore_like(jax.device_get(trainer.params), flat)
-    trainer.params = jax.tree.map(jnp.asarray, trainer.params)
+    if os.path.exists(os.path.join(path, "params.npz")):
+        # single-process (monolithic npz) format
+        flat = load_pytree_flat(os.path.join(path, "params.npz"))
+        trainer.params = restore_like(jax.device_get(trainer.params), flat)
+        trainer.params = jax.tree.map(jnp.asarray, trainer.params)
 
-    opt_flat = load_pytree_flat(os.path.join(path, "opt_state.npz"))
-    opt_flat = {k: v for k, v in opt_flat.items()}
-    trainer.opt_state = _optstate_from_tree(trainer.opt_state, opt_flat)
+        opt_flat = load_pytree_flat(os.path.join(path, "opt_state.npz"))
+        opt_flat = {k: v for k, v in opt_flat.items()}
+        trainer.opt_state = _optstate_from_tree(trainer.opt_state, opt_flat)
 
-    # Re-apply the trainer's sharding layout: the arrays above landed on the
-    # default device fully replicated, which would silently demote an
-    # fsdp/tp run to replicated after resume.
-    specs = getattr(trainer, "_param_specs", None)
-    if specs is not None:
-        from jax.sharding import NamedSharding
-        from ..parallel.sharding import shard_opt_state_like
-        trainer.params = jax.tree.map(
-            lambda x, s: jax.device_put(x, NamedSharding(trainer.mesh, s)),
-            trainer.params, specs)
-        trainer.opt_state = shard_opt_state_like(
-            trainer.opt_state, trainer.params, specs, trainer.mesh)
+        # Re-apply the trainer's sharding layout: the arrays above landed on
+        # the default device fully replicated, which would silently demote
+        # an fsdp/tp run to replicated after resume.
+        specs = getattr(trainer, "_param_specs", None)
+        if specs is not None:
+            from jax.sharding import NamedSharding
+            from ..parallel.sharding import shard_opt_state_like
+            trainer.params = jax.tree.map(
+                lambda x, s: jax.device_put(
+                    x, NamedSharding(trainer.mesh, s)),
+                trainer.params, specs)
+            trainer.opt_state = shard_opt_state_like(
+                trainer.opt_state, trainer.params, specs, trainer.mesh)
+    else:
+        # per-process shard format (pod-safe save): reassemble each leaf
+        # from all shard files and re-place it under THIS trainer's live
+        # sharding — save and restore may differ in process count/layout
+        trainer.params = restore_tree_sharded(path, "params", trainer.params)
+        opt_tree = restore_tree_sharded(
+            path, "opt_state", _optstate_to_tree(trainer.opt_state))
+        leaves, treedef = jax.tree.flatten(trainer.opt_state)
+        trainer.opt_state = jax.tree.unflatten(
+            treedef, [opt_tree[str(i)] for i in range(len(leaves))])
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
@@ -245,7 +471,17 @@ def load_model_checkpoint(path: str):
     fields = OmniBioTAConfig.__dataclass_fields__
     cfg = OmniBioTAConfig(**{k: v for k, v in raw.items() if k in fields})
 
-    flat = load_pytree_flat(os.path.join(path, "params.npz"))
+    if os.path.exists(os.path.join(path, "params.npz")):
+        flat = load_pytree_flat(os.path.join(path, "params.npz"))
+    else:
+        # pod-saved shard format: assemble each leaf's global array
+        by_leaf = _load_all_shards(path, "params")
+        flat = {}
+        for leaf_key, shards in by_leaf.items():
+            stops = [max(s[d].stop for s in shards if s)
+                     for d in range(len(next(iter(shards))))]
+            dtype = next(iter(shards.values())).dtype
+            flat[leaf_key] = _assemble_leaf(shards, tuple(stops), dtype)
     tree: Dict = {}
     for key, arr in flat.items():
         parts = key.split("/")

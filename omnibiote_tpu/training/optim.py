@@ -45,9 +45,18 @@ def clip_by_global_norm_logging(max_norm: float) -> optax.GradientTransformation
 
     def update_fn(updates, state, params=None):
         del params, state
-        gnorm = optax.global_norm(updates)
+        # per-leaf square-sums accumulate in fp32 regardless of grad dtype
+        # (bf16 grads on the A=1 path would otherwise sum squares in bf16),
+        # and the scale multiply preserves each leaf's dtype instead of
+        # promoting bf16*f32 -> f32 (which would materialize the full fp32
+        # grad buffer the bf16 path exists to avoid)
+        gnorm = jnp.sqrt(sum(
+            jnp.sum(jnp.square(u.astype(jnp.float32)))
+            for u in jax.tree.leaves(updates)))
         scale = max_norm / jnp.maximum(gnorm, max_norm)
-        updates = jax.tree.map(lambda u: u * scale, updates)
+        updates = jax.tree.map(
+            lambda u: (u.astype(jnp.float32) * scale).astype(u.dtype),
+            updates)
         return updates, ClipByGlobalNormState(gnorm)
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -103,6 +112,47 @@ def _add_mup_decayed_weights(weight_decay: float,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def scale_by_adam_mixed(b1: float, b2: float, eps: float,
+                        state_dtype) -> optax.GradientTransformation:
+    """optax.scale_by_adam semantics with the carried moments stored in
+    `state_dtype` (bf16 halves the optimizer's HBM footprint — the lever
+    that fits 1.2B fp32-master training on one 16 GB chip). All arithmetic
+    (moment EMA, bias correction, the update quotient) runs in fp32; only
+    the state written back between steps is rounded. State is the stock
+    optax.ScaleByAdamState so checkpoints keep the same tree structure."""
+    state_dtype = jnp.dtype(state_dtype)
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros(p.shape, state_dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def moments(g, m, n):
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            n32 = b2 * n.astype(jnp.float32) + (1.0 - b2) * jnp.square(g32)
+            u = (m32 / c1) / (jnp.sqrt(n32 / c2) + eps)
+            return u, m32.astype(state_dtype), n32.astype(state_dtype)
+
+        out = jax.tree.map(moments, updates, state.mu, state.nu)
+        treedef = jax.tree.structure(updates)
+        leaves = treedef.flatten_up_to(out)
+        new_updates = treedef.unflatten([l[0] for l in leaves])
+        mu = treedef.unflatten([l[1] for l in leaves])
+        nu = treedef.unflatten([l[2] for l in leaves])
+        return new_updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     params,
     model_cfg: OmniBioTAConfig,
@@ -114,10 +164,17 @@ def make_optimizer(
     mults = lr_mult_tree(params, model_cfg, force_lr=train_cfg.force_lr)
     wd_mults = wd_mult_tree(params, model_cfg, force_lr=train_cfg.force_lr,
                             decoupled=train_cfg.mup_decoupled_wd)
+    mdt = jnp.dtype(getattr(train_cfg, "moment_dtype", "float32"))
+    if mdt == jnp.dtype(jnp.float32):
+        adam = optax.scale_by_adam(
+            b1=train_cfg.beta1, b2=train_cfg.beta2, eps=train_cfg.epsilon)
+    else:
+        adam = scale_by_adam_mixed(
+            b1=train_cfg.beta1, b2=train_cfg.beta2, eps=train_cfg.epsilon,
+            state_dtype=mdt)
     return optax.chain(
         clip_by_global_norm_logging(train_cfg.grad_clip),
-        optax.scale_by_adam(
-            b1=train_cfg.beta1, b2=train_cfg.beta2, eps=train_cfg.epsilon),
+        adam,
         _add_mup_decayed_weights(train_cfg.weight_decay, wd_mults),
         _scale_by_mup_lr(linear_decay(base_lr, total_iters), mults),
     )

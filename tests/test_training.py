@@ -536,3 +536,53 @@ def test_dp_sp_ctx8k_batch_gt1():
     tr = Trainer(cfg, tc, batch_iter=synth_batches(4, 8192))
     m = tr.train_step_once()
     assert np.isfinite(float(m["loss"]))
+
+
+def test_mixed_moment_and_grad_dtypes_track_fp32():
+    """The 1.2B-on-one-chip memory levers (moment_dtype=bf16 Adam state +
+    grad_dtype=bf16 on the A=1 path) keep training dynamics on the fp32
+    curve: same data/seed, 20 steps, loss trajectories track within bf16
+    rounding and the mixed run converges."""
+    tc32 = TrainConfig(batch_size=16, mini_batch_size=2, ctx_len=32, lr=1e-2,
+                       token_budget=16 * 32 * 200.0, seed=0)
+    tcmx = tc32.replace(moment_dtype="bfloat16", grad_dtype="bfloat16")
+    tr32 = Trainer(MODEL, tc32, batch_iter=synth_batches(16, 32, seed=7))
+    trmx = Trainer(MODEL, tcmx, batch_iter=synth_batches(16, 32, seed=7))
+
+    l32, lmx = [], []
+    for _ in range(20):
+        l32.append(float(tr32.train_step_once()["loss"]))
+        lmx.append(float(trmx.train_step_once()["loss"]))
+    # moments stored bf16: state dtype is what the config asked for
+    mu_leaf = jax.tree.leaves(trmx.opt_state[1].mu)[0]
+    assert mu_leaf.dtype == jnp.bfloat16
+    assert jax.tree.leaves(tr32.opt_state[1].mu)[0].dtype == jnp.float32
+    # trajectories track: same first loss (identical fwd), tight early, and
+    # both converge to the same neighborhood
+    np.testing.assert_allclose(l32[0], lmx[0], rtol=1e-5)
+    np.testing.assert_allclose(l32, lmx, rtol=0.05)
+    # both curves fall, and the mixed run lands on the fp32 neighborhood
+    assert lmx[-1] < lmx[0] and l32[-1] < l32[0]
+    assert abs(np.mean(l32[-5:]) - np.mean(lmx[-5:])) < 0.02 * np.mean(
+        l32[-5:])
+
+
+def test_mixed_moment_checkpoint_resume_exact(tmp_path):
+    """bf16-moment checkpoints restore bit-exact (state round-trips npz)."""
+    tc = TrainConfig(batch_size=16, mini_batch_size=2, ctx_len=32, lr=1e-2,
+                     token_budget=16 * 32 * 100.0, seed=0,
+                     moment_dtype="bfloat16", grad_dtype="bfloat16",
+                     save_dir=str(tmp_path))
+    tr = Trainer(MODEL, tc, batch_iter=synth_batches(16, 32, seed=9))
+    for _ in range(4):
+        tr.train_step_once()
+    path = tr.save_checkpoint()
+    cont = [float(tr.train_step_once()["loss"]) for _ in range(3)]
+
+    tr2 = Trainer(MODEL, tc, batch_iter=synth_batches(16, 32, seed=9))
+    tr2.restore_checkpoint(path)
+    # replay the 4 pre-save batches the stream already consumed
+    for _ in range(4):
+        next(tr2.batch_iter)
+    resumed = [float(tr2.train_step_once()["loss"]) for _ in range(3)]
+    np.testing.assert_allclose(cont, resumed, rtol=0, atol=0)

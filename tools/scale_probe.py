@@ -1,0 +1,112 @@
+"""Single-config training-throughput probe (one JSON line to stdout).
+
+Parametrized over model dims / ctx / micro-batch / accumulation / memory
+levers so tools/scale_bench.py can drive one subprocess per config row
+(two full-size trainers in one process would exceed the 16 GB HBM).
+
+Usage:
+  python tools/scale_probe.py --layers 12 --embd 1536 --heads 12 --ctx 1024 \
+      --mini 8 --accum 32 [--moment-dtype bfloat16] [--grad-dtype bfloat16] \
+      [--remat 1] [--remat-policy dots] [--steps 6] [--warmup 2]
+
+MFU per the reference's own analytic 6N + 12*L*d*T estimate
+(/root/reference/training/train_encoder.py:360) with N = non-embedding
+params, against the TPU generation nominal peak.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, required=True)
+    ap.add_argument("--embd", type=int, required=True)
+    ap.add_argument("--heads", type=int, required=True)
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--mini", type=int, default=8)
+    ap.add_argument("--accum", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--moment-dtype", default="float32")
+    ap.add_argument("--grad-dtype", default="float32")
+    ap.add_argument("--remat", type=int, default=0)
+    ap.add_argument("--remat-policy", default="full")
+    ap.add_argument("--scan-layers", type=int, default=0)
+    ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--label", default="")
+    args = ap.parse_args()
+
+    import jax
+    import omnibiote_tpu as obt
+    from omnibiote_tpu.config import TrainConfig
+    from omnibiote_tpu.training.train import Trainer
+    from omnibiote_tpu.training.metrics import flops_per_token, mfu
+    from omnibiote_tpu.models.omnibiota import num_params
+    from omnibiote_tpu.ops.segments import segment_ids_np
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    model_cfg = obt.OmniBioTAConfig(
+        n_layer=args.layers, n_embd=args.embd, n_head=args.heads,
+        block_size=args.ctx, vocab_size=2 ** 16, dropout=args.dropout,
+        attn_impl="flash", compute_dtype="bfloat16",
+        checkpoint_freq=args.remat, remat_policy=args.remat_policy,
+        scan_layers=bool(args.scan_layers))
+    batch = args.mini * args.accum
+    train_cfg = TrainConfig(
+        batch_size=batch, mini_batch_size=args.mini, ctx_len=args.ctx,
+        token_budget=float(batch * args.ctx * 100000), seed=0,
+        moment_dtype=args.moment_dtype, grad_dtype=args.grad_dtype)
+
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            toks = rng.integers(
+                20, 65000, size=(batch, args.ctx)).astype(np.int32)
+            for r in range(batch):
+                pos = rng.integers(32, args.ctx, size=3)
+                toks[r, pos] = obt.EOS_TOKEN
+            yield {"tokens": toks, "segments": segment_ids_np(toks)}
+
+    trainer = Trainer(model_cfg, train_cfg, batch_iter=batches(), prefetch=2)
+    t_init = time.time()
+    for _ in range(args.warmup):
+        m = trainer.train_step_once()
+    float(m["loss"])  # flush compile + warmup through the relay
+    compile_s = time.time() - t_init
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        m = trainer.train_step_once()
+    loss = float(m["loss"])  # single sync at the end
+    dt = time.time() - t0
+    tokens = args.steps * batch * args.ctx
+
+    tps = tokens / dt
+    n_body = num_params(trainer.params, non_embedding=True)
+    fpt = flops_per_token(n_body, args.layers, args.embd, args.ctx)
+    print(json.dumps({
+        "label": args.label or f"{args.layers}L/{args.embd}d/{args.heads}h",
+        "params_non_emb": n_body,
+        "ctx": args.ctx, "mini": args.mini, "accum": args.accum,
+        "global_batch": batch,
+        "moment_dtype": args.moment_dtype, "grad_dtype": args.grad_dtype,
+        "remat": args.remat, "remat_policy": args.remat_policy,
+        "tokens_per_sec": round(tps, 1),
+        "mfu": round(mfu(tps, fpt, 1, gen), 4),
+        "step_s": round(dt / args.steps, 3),
+        "warmup_s": round(compile_s, 1),
+        "loss": round(loss, 4),
+    }))
+    trainer.close()
+
+
+if __name__ == "__main__":
+    main()
