@@ -80,3 +80,117 @@ def test_two_process_batch_staging(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_OK {i}" in out
+
+
+TRAIN_WORKER = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(coordinator_address=sys.argv[2],
+                           num_processes=2, process_id=int(sys.argv[1]))
+phase, ckdir = sys.argv[3], sys.argv[4]
+from omnibiote_tpu import OmniBioTAConfig, TrainConfig, EOS_TOKEN
+from omnibiote_tpu.training.train import Trainer
+from omnibiote_tpu.ops.segments import segment_ids_np
+
+MODEL = OmniBioTAConfig(n_layer=2, n_head=2, n_embd=32, vocab_size=64,
+                        block_size=32, dropout=0.0, attn_impl="xla",
+                        compute_dtype="float32", mup_base_n_embd=16)
+# fsdp over the full 8-device (2-process) data axis; mini 2/device
+tc = TrainConfig(batch_size=16, mini_batch_size=2, ctx_len=32, lr=1e-2,
+                 token_budget=16 * 32 * 100.0, seed=0, sharding="fsdp",
+                 save_dir=ckdir)
+
+def batches(seed=11):
+    rng = np.random.default_rng(seed)
+    while True:
+        rows = []
+        for _ in range(16):
+            row = []
+            while len(row) < 32:
+                start = int(rng.integers(4, 52))
+                ln = int(rng.integers(4, 10))
+                row.extend(range(start, start + ln))
+                row.append(EOS_TOKEN)
+            rows.append(row[:32])
+        toks = np.asarray(rows, np.int32)
+        yield {"tokens": toks, "segments": segment_ids_np(toks)}
+
+tr = Trainer(MODEL, tc, batch_iter=batches())
+# params/moments really are cross-process sharded: device_get must be
+# impossible from one process
+leaf = jax.tree.leaves(tr.params)[0]
+assert not leaf.sharding.is_fully_addressable, "fsdp leaf fully addressable?"
+
+if phase == "A":
+    for _ in range(2):
+        m = tr.train_step_once()
+    path = tr.save_checkpoint()
+    if jax.process_index() == 0:
+        with open(ckdir + "/PATH.txt", "w") as f:
+            f.write(path)
+    cont = [float(tr.train_step_once()["loss"]) for _ in range(2)]
+    print(f"LOSSES {jax.process_index()} {cont[0]:.9e} {cont[1]:.9e}")
+else:
+    with open(ckdir + "/PATH.txt") as f:
+        tr.restore_checkpoint(f.read().strip())
+    assert tr.step == 2
+    # replay the 2 batches phase A consumed before its save
+    for _ in range(2):
+        next(tr.batch_iter)
+    cont = [float(tr.train_step_once()["loss"]) for _ in range(2)]
+    print(f"LOSSES {jax.process_index()} {cont[0]:.9e} {cont[1]:.9e}")
+print(f"MULTIHOST_OK {jax.process_index()}")
+"""
+
+
+def _run_two(script, args, extra_env=None):
+    coord = f"localhost:{_free_port()}"
+    env = os.environ.copy()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(extra_env or {})
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i), coord] + args,
+            env=env, text=True, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=360)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+        assert f"MULTIHOST_OK {i}" in out
+    return outs
+
+
+def test_two_process_fsdp_train_save_restore(tmp_path):
+    """Pod-safe checkpointing: an fsdp-sharded trainer (params NOT fully
+    addressable from either process) trains 2 steps, saves per-process
+    shard files, and FRESH processes restore and continue bit-exactly."""
+    ckdir = str(tmp_path / "ck")
+    outs_a = _run_two(TRAIN_WORKER, ["A", ckdir])
+    outs_b = _run_two(TRAIN_WORKER, ["B", ckdir])
+
+    def losses(out):
+        for line in out.splitlines():
+            if line.startswith("LOSSES"):
+                return line.split()[2:]
+        raise AssertionError(f"no LOSSES line:\n{out[-2000:]}")
+
+    # both processes agree within a phase, and B continues A's exact curve
+    assert losses(outs_a[0]) == losses(outs_a[1])
+    assert losses(outs_b[0]) == losses(outs_b[1])
+    assert losses(outs_a[0]) == losses(outs_b[0]), (
+        losses(outs_a[0]), losses(outs_b[0]))
