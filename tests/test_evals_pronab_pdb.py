@@ -178,3 +178,59 @@ def test_deepnap_baseline(tmp_path, monkeypatch):
     assert np.isfinite(results["zero_shot"]["MAE"])
     assert len(results["folds"]) == 2
     assert all(np.isfinite(f["MAE"]) for f in results["folds"])
+
+
+REAL_PRONAB = "/root/reference/datasets/pronab_no_mutations.json"
+
+
+@pytest.mark.skipif(not os.path.exists(REAL_PRONAB),
+                    reason="reference ProNAB dataset not present")
+def test_pronab_real_dataset_parse_and_prep():
+    """Parse the REAL ProNAB dataset shipped with the reference
+    (datasets/pronab_no_mutations.json, parsed by the reference at
+    pronab_crossval.py:35-58): pinned record counts, value distributions,
+    decontamination, and tokenization of real records."""
+    from omnibiote_tpu.evals.pronab import (
+        process_dataset, prepare_sample, decontaminate)
+    from omnibiote_tpu.tokenizer import load_reference
+    from omnibiote_tpu.config import BANNED_TOKEN
+
+    with open(REAL_PRONAB) as f:
+        ds = json.load(f)
+    assert len(ds) == 757  # proteins
+
+    nuc, pep, Kd, G0 = process_dataset(ds, rng=np.random.default_rng(0))
+    total_rows = sum(len(v["binding data"]) for v in ds.values())
+    assert total_rows == 14582
+    assert len(nuc) == len(pep) == len(Kd) == len(G0) == 13672
+    assert total_rows - len(nuc) == 910  # rows dropped by the Kd/G0==0 gate
+
+    # modality split and tag integrity
+    assert sum(n.startswith("<DNA>") for n in nuc) == 10203
+    assert sum(n.startswith("<RNA>") for n in nuc) == 3469
+    assert all(n.endswith("<EOS>") for n in nuc)
+
+    # value distributions (log10 Kd and deltaG), loose but real
+    kd = np.asarray(Kd)
+    g0 = np.asarray(G0)
+    assert -7.4 < kd.mean() < -7.2 and kd.min() > -15 and kd.max() < 0
+    assert -9.9 < g0.mean() < -9.8 and g0.min() > -21 and (g0 < 0.2).all()
+    assert len(set(pep)) == 741
+
+    # decontamination against a mutation set built from real peptides
+    mut_peps = set(sorted(set(pep))[:25])
+    n2, p2, k2, g2 = decontaminate(nuc, pep, Kd, G0, mut_peps)
+    dropped = len(nuc) - len(n2)
+    assert dropped == sum(p in mut_peps for p in pep) and dropped > 0
+    assert not any(p in mut_peps for p in p2)
+
+    # tokenize a spread of real records with the real mixed tokenizer
+    sp = load_reference("mixed")
+    banned = [BANNED_TOKEN["mixed"]]
+    for i in range(0, len(n2), 1500):
+        ids = prepare_sample(sp, p2[i], n2[i], banned)
+        assert len(ids) > 4
+        assert BANNED_TOKEN["mixed"] not in ids
+        # decodes back to sequence content (modulo the special tags)
+        text = sp.decode([t for t in ids])
+        assert "protein" in text or len(text) > 0
