@@ -131,6 +131,42 @@ def _gelu_erf(x):
     return y.astype(x.dtype)
 
 
+# Degree-7 (in u = x^2) weighted-LS fit of (Phi(x) - 0.5)/x on (0, 4], where
+# Phi(x) = 0.5*(1 + erf(x/1.41421)) is the reference's Gaussian CDF. The full
+# activation is reconstructed as x*(0.5 + x*P(x^2)) — odd-symmetric by
+# construction — and clamped to the asymptotes outside |x| <= 4. Max abs
+# error vs exact erf-GELU: 1.27e-4 (value), 2.6e-3 (derivative, at the +-4
+# clamp seam); both are below bf16 resolution at activation scale. Fit:
+# 8000 Chebyshev nodes, weight u (minimises the x^2-amplified value error).
+_GELU_POLY = (
+    3.9867681269e-01, -6.5885546573e-02, 9.5017678048e-03, -1.0051514547e-03,
+    7.4631021951e-05, -3.6379394711e-06, 1.0337561212e-07, -1.2874154492e-09,
+)
+_GELU_CUT = 4.0
+
+
+def _gelu_fast(x):
+    """Polynomial erf-GELU: identical function as _gelu_erf to 1.3e-4 abs,
+    ~3x fewer VPU ops, and a transcendental-free autodiff backward (the exact
+    erf backward needs exp(-x^2/2)). Selected by cfg.gelu (config.py)."""
+    xf = x.astype(jnp.float32)
+    u = xf * xf
+    p = jnp.float32(_GELU_POLY[-1])
+    for c in _GELU_POLY[-2::-1]:
+        p = p * u + jnp.float32(c)
+    y = xf * (0.5 + xf * p)
+    y = jnp.where(xf > _GELU_CUT, xf, y)
+    y = jnp.where(xf < -_GELU_CUT, 0.0, y)
+    return y.astype(x.dtype)
+
+
+def _gelu(x, cfg):
+    mode = cfg.gelu
+    if mode == "auto":
+        mode = "fast" if cfg.compute_dtype == "bfloat16" else "erf"
+    return _gelu_fast(x) if mode == "fast" else _gelu_erf(x)
+
+
 def _dropout(x, rate, rng, deterministic):
     """Inverted dropout from raw PRNG bits: keep iff bits >= rate * 2^32,
     the same threshold convention as the flash kernel's in-kernel dropout
@@ -216,7 +252,7 @@ def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
     # --- MLP (reference MLP, model.py:154-168) ---
     h = _layer_norm(x, bp["ln2"])
     h = _linear(h, bp["mlp"]["wi"], bp["mlp"].get("bi"))
-    h = _gelu_erf(h)
+    h = _gelu(h, cfg)
     h = _linear(h, bp["mlp"]["wo"], bp["mlp"].get("bo"))
     h = _dropout(h, cfg.dropout, rngs.get("resid2"), deterministic)
     return x + h

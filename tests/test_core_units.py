@@ -304,3 +304,50 @@ def test_int8_quantization_with_biases():
     rn = ref / jnp.linalg.norm(ref, axis=-1, keepdims=True)
     on = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
     assert float(jnp.min(jnp.sum(rn * on, -1))) > 0.99
+
+
+def test_fast_gelu_matches_erf_gelu():
+    """cfg.gelu='fast' (polynomial) vs the exact erf activation: value to
+    1.3e-4 abs, autodiff derivative to 3e-3 abs (clamp seam), and the 'auto'
+    policy resolves fast<->bf16 / erf<->fp32 (config.py gelu field)."""
+    from omnibiote_tpu.models.omnibiota import _gelu_erf, _gelu_fast, _gelu
+
+    x = jnp.asarray(np.linspace(-8.0, 8.0, 40001), jnp.float32)
+    exact = np.asarray(_gelu_erf(x))
+    fast = np.asarray(_gelu_fast(x))
+    assert np.abs(fast - exact).max() < 1.5e-4
+
+    g_exact = np.asarray(jax.vmap(jax.grad(lambda v: _gelu_erf(v)))(x))
+    g_fast = np.asarray(jax.vmap(jax.grad(lambda v: _gelu_fast(v)))(x))
+    assert np.abs(g_fast - g_exact).max() < 3e-3
+
+    # bf16: every output is within 2 ulp of the exact-erf bf16 output (the
+    # 1.3e-4 abs error can flip the last bit near rounding boundaries, but
+    # never moves more than a grid step; 2e-4 abs floor covers the tail
+    # where gelu(x) itself is ~1e-4)
+    xb = x.astype(jnp.bfloat16)
+    eb = np.asarray(_gelu_erf(xb).astype(jnp.float32))
+    fb = np.asarray(_gelu_fast(xb).astype(jnp.float32))
+    tol = np.maximum(np.abs(eb) * 2.0 ** -7, 2e-4)
+    assert (np.abs(eb - fb) <= tol).all()
+
+    cfg32 = OmniBioTAConfig(gelu="auto", compute_dtype="float32")
+    cfgbf = OmniBioTAConfig(gelu="auto", compute_dtype="bfloat16")
+    assert np.array_equal(np.asarray(_gelu(x, cfg32)), exact)
+    assert np.array_equal(np.asarray(_gelu(x, cfgbf)), fast)
+
+
+def test_fast_gelu_forward_close_to_erf_forward():
+    """Whole-model check: an fp32 forward with gelu='fast' stays within
+    fp32-parity-scale tolerance of the exact-erf forward."""
+    cfg = OmniBioTAConfig(
+        n_layer=2, n_head=4, n_embd=128, block_size=64, vocab_size=512,
+        dropout=0.0, attn_impl="xla", compute_dtype="float32",
+        param_dtype="float32", mup_base_n_embd=24)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    idx = jnp.asarray(
+        np.random.default_rng(0).integers(4, 512, size=(2, 64)), jnp.int32)
+    lo_erf = np.asarray(forward(params, cfg.replace(gelu="erf"), idx))
+    lo_fast = np.asarray(forward(params, cfg.replace(gelu="fast"), idx))
+    rel = np.abs(lo_fast - lo_erf).max() / (np.abs(lo_erf).max() + 1e-9)
+    assert rel < 5e-4, rel
