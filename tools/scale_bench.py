@@ -1,0 +1,74 @@
+"""BENCH_SCALE.json: training throughput at the reference's real scales.
+
+Rows (r3 VERDICT #1):
+  * ref-default — the reference's config-default depth/width at its
+    training-default context: 12L/1024d, ctx 2048, global batch 1024
+    (/root/reference/training/model.py:185-189 has n_head=12, which the
+    reference's own `assert n_embd % n_head == 0` (model.py:77) rejects at
+    n_embd=1024; we bench n_head=8 = head_dim 128, the reference's only
+    working head shape at this width).
+  * 617M — 12L/1536d/12h at ctx 1024 (the round-2/3 "69% MFU" config).
+  * 1.2B — 16L/2048d/16h: fp32 master + fp32 moments alone exceed the
+    16 GB chip; trains via moment_dtype=bfloat16 + grad_dtype=bfloat16
+    (A=1) + remat (TrainConfig levers, optim.scale_by_adam_mixed).
+
+One subprocess per row (tools/scale_probe.py): two full-size trainers in
+one process would exceed HBM.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+ROWS = [
+    dict(label="ref-default-12L-1024d-ctx2048",
+         args="--layers 12 --embd 1024 --heads 8 --ctx 2048 "
+              "--mini 8 --accum 16 --steps 3 --warmup 1"),
+    dict(label="mid-617M-12L-1536d-ctx1024",
+         args="--layers 12 --embd 1536 --heads 12 --ctx 1024 "
+              "--mini 8 --accum 16 --steps 4 --warmup 1"),
+    dict(label="big-1.2B-16L-2048d-ctx1024",
+         args="--layers 16 --embd 2048 --heads 16 --ctx 1024 "
+              "--mini 8 --accum 1 --steps 6 --warmup 2 "
+              "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1"),
+]
+
+
+def main():
+    rows = []
+    for spec in ROWS:
+        cmd = [sys.executable, os.path.join(HERE, "scale_probe.py"),
+               "--label", spec["label"]] + spec["args"].split()
+        print("RUN", " ".join(cmd), flush=True)
+        t0 = time.time()
+        proc = subprocess.run(cmd, cwd=REPO, text=True, capture_output=True,
+                              timeout=3600)
+        line = [l for l in proc.stdout.splitlines()
+                if l.startswith("{")]
+        if proc.returncode != 0 or not line:
+            rows.append({"label": spec["label"], "error":
+                         proc.stderr[-1500:] or proc.stdout[-1500:]})
+            print(f"FAIL {spec['label']}\n{proc.stderr[-1500:]}", flush=True)
+            continue
+        row = json.loads(line[-1])
+        row["probe_wall_s"] = round(time.time() - t0, 1)
+        rows.append(row)
+        print("OK", json.dumps(row), flush=True)
+
+    out = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+           "rows": rows,
+           "note": ("MFU per the reference's analytic 6N + 12*L*d*T "
+                    "(train_encoder.py:360), N = non-embedding params, "
+                    "vs the 197 TF/s nominal v5e peak")}
+    with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"rows": len(rows),
+                      "ok": all("error" not in r for r in rows)}))
+
+
+if __name__ == "__main__":
+    main()
