@@ -75,8 +75,10 @@ def _flash_checkpoint(tmp):
     from omnibiote_tpu import OmniBioTAConfig, TrainConfig
     from omnibiote_tpu.training.train import Trainer
 
+    # block_size 1024 = the ProNAB adapter's MAX_LEN bucket ceiling
+    # (evals/pronab.py:51); real records bucket up to 384+ tokens.
     cfg = OmniBioTAConfig(n_layer=2, n_head=2, n_embd=256,
-                          vocab_size=2 ** 16, block_size=256, dropout=0.0,
+                          vocab_size=2 ** 16, block_size=1024, dropout=0.0,
                           attn_impl="flash", compute_dtype="bfloat16")
     tc = TrainConfig(batch_size=8, mini_batch_size=1, ctx_len=256,
                      token_budget=1e9, save_dir=os.path.join(tmp, "ck"),
