@@ -61,9 +61,13 @@ def main():
 
     out = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "rows": rows,
-           "note": ("MFU per the reference's analytic 6N + 12*L*d*T "
+           "note": ("mfu per the reference's analytic 6N + 12*L*d*T "
                     "(train_encoder.py:360), N = non-embedding params, "
-                    "vs the 197 TF/s nominal v5e peak")}
+                    "vs the 197 TF/s nominal v5e peak. mfu_executed "
+                    "re-credits the compacted MLM head (mlm.py: T//4 "
+                    "slots) at its executed size — the formula-independent "
+                    "utilization comparable across model scales; "
+                    "flops_ratio_e = executed/nominal.")}
     with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"rows": len(rows),

@@ -92,6 +92,14 @@ def main():
     tps = tokens / dt
     n_body = num_params(trainer.params, non_embedding=True)
     fpt = flops_per_token(n_body, args.layers, args.embd, args.ctx)
+    # The reference's 6N formula credits the untied (D, V) readout at every
+    # position, but the compacted MLM head (training/mlm.py) executes it on
+    # only T//4 slots per row — so reported MFU = true_util / e with
+    # e = executed/nominal. Small models get a large 1/e boost (the head is
+    # ~40% of N at 165M) that shrinks with scale; mfu_executed is the
+    # formula-independent utilization that lets rows be compared fairly.
+    head = args.embd * (2 ** 16)
+    fpt_exec = fpt - 6.0 * head * (1.0 - 0.25)
     print(json.dumps({
         "label": args.label or f"{args.layers}L/{args.embd}d/{args.heads}h",
         "params_non_emb": n_body,
@@ -101,6 +109,8 @@ def main():
         "remat": args.remat, "remat_policy": args.remat_policy,
         "tokens_per_sec": round(tps, 1),
         "mfu": round(mfu(tps, fpt, 1, gen), 4),
+        "mfu_executed": round(mfu(tps, fpt_exec, 1, gen), 4),
+        "flops_ratio_e": round(fpt_exec / fpt, 4),
         "step_s": round(dt / args.steps, 3),
         "warmup_s": round(compile_s, 1),
         "loss": round(loss, 4),
