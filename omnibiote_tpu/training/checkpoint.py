@@ -108,7 +108,9 @@ def checkpoint_dir(save_dir: str, save_name: str, tokens: int) -> str:
 # Restore streams every shard file, reassembles each leaf's global array,
 # and re-places it under the restoring trainer's target sharding via
 # jax.make_array_from_callback — so process count and layout may differ
-# between save and restore. Reference analogue: rank-0 torch.save
+# between save and restore. save_dir must be a filesystem all processes
+# share (GCS/NFS mount — the standard pod setup); per-host local disks
+# would scatter the shard files. Reference analogue: rank-0 torch.save
 # (/root/reference/training/train_encoder.py:412-423), which cannot save a
 # sharded state at all.
 
