@@ -194,3 +194,57 @@ def test_two_process_fsdp_train_save_restore(tmp_path):
     assert losses(outs_b[0]) == losses(outs_b[1])
     assert losses(outs_a[0]) == losses(outs_b[0]), (
         losses(outs_a[0]), losses(outs_b[0]))
+
+    # Process-count change: the SAME shard-format checkpoint restores into a
+    # single-process trainer (the conftest's 8 local devices) and continues
+    # the same loss curve — the "save and restore may differ in process
+    # count/layout" claim (training/checkpoint.py).
+    import numpy as np
+    import jax
+    from omnibiote_tpu import OmniBioTAConfig, TrainConfig, EOS_TOKEN
+    from omnibiote_tpu.training.train import Trainer
+    from omnibiote_tpu.ops.segments import segment_ids_np
+
+    with open(ckdir + "/PATH.txt") as f:
+        path = f.read().strip()
+    model = OmniBioTAConfig(n_layer=2, n_head=2, n_embd=32, vocab_size=64,
+                            block_size=32, dropout=0.0, attn_impl="xla",
+                            compute_dtype="float32", mup_base_n_embd=16)
+    tc = TrainConfig(batch_size=16, mini_batch_size=2, ctx_len=32, lr=1e-2,
+                     token_budget=16 * 32 * 100.0, seed=0, sharding="fsdp",
+                     save_dir=str(tmp_path / "ck1p"))
+
+    def batches(seed=11):
+        rng = np.random.default_rng(seed)
+        while True:
+            rows = []
+            for _ in range(16):
+                row = []
+                while len(row) < 32:
+                    start = int(rng.integers(4, 52))
+                    ln = int(rng.integers(4, 10))
+                    row.extend(range(start, start + ln))
+                    row.append(EOS_TOKEN)
+                rows.append(row[:32])
+            toks = np.asarray(rows, np.int32)
+            yield {"tokens": toks, "segments": segment_ids_np(toks)}
+
+    tr = Trainer(model, tc, batch_iter=batches())
+    tr.restore_checkpoint(path)
+    assert tr.step == 2
+
+    # eval-side entry point reads the shard format too, and its assembled
+    # tree matches the restored trainer's live (checkpoint-time) params
+    from omnibiote_tpu.training.checkpoint import load_model_checkpoint
+    params, cfg = load_model_checkpoint(path)
+    assert cfg.n_embd == 32 and cfg.n_layer == 2
+    for key in ("wte", "lm_head"):
+        np.testing.assert_allclose(np.asarray(params[key]),
+                                   np.asarray(jax.device_get(tr.params[key])),
+                                   rtol=0, atol=0)
+
+    for _ in range(2):  # replay the batches the saving run consumed
+        next(tr.batch_iter)
+    cont = [float(tr.train_step_once()["loss"]) for _ in range(2)]
+    want = [float(x) for x in losses(outs_b[0])]
+    np.testing.assert_allclose(cont, want, rtol=1e-6)
