@@ -34,30 +34,40 @@ ROWS = [
     dict(label="big-1.2B-16L-2048d-ctx1024",
          args="--layers 16 --embd 2048 --heads 16 --ctx 1024 "
               "--mini 8 --accum 1 --steps 6 --warmup 2 "
-              "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1"),
+              "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1",
+         # never measured on-chip before: if mini 8 exceeds the 16 GB HBM,
+         # fall back to half the micro-batch rather than losing the row
+         fallback="--layers 16 --embd 2048 --heads 16 --ctx 1024 "
+                  "--mini 4 --accum 2 --steps 6 --warmup 2 "
+                  "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1"),
 ]
+
+
+def _run_probe(label, argstr):
+    cmd = [sys.executable, os.path.join(HERE, "scale_probe.py"),
+           "--label", label] + argstr.split()
+    print("RUN", " ".join(cmd), flush=True)
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=REPO, text=True, capture_output=True,
+                          timeout=3600)
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not line:
+        print(f"FAIL {label}\n{proc.stderr[-1500:]}", flush=True)
+        return {"label": label,
+                "error": proc.stderr[-1500:] or proc.stdout[-1500:]}
+    row = json.loads(line[-1])
+    row["probe_wall_s"] = round(time.time() - t0, 1)
+    print("OK", json.dumps(row), flush=True)
+    return row
 
 
 def main():
     rows = []
     for spec in ROWS:
-        cmd = [sys.executable, os.path.join(HERE, "scale_probe.py"),
-               "--label", spec["label"]] + spec["args"].split()
-        print("RUN", " ".join(cmd), flush=True)
-        t0 = time.time()
-        proc = subprocess.run(cmd, cwd=REPO, text=True, capture_output=True,
-                              timeout=3600)
-        line = [l for l in proc.stdout.splitlines()
-                if l.startswith("{")]
-        if proc.returncode != 0 or not line:
-            rows.append({"label": spec["label"], "error":
-                         proc.stderr[-1500:] or proc.stdout[-1500:]})
-            print(f"FAIL {spec['label']}\n{proc.stderr[-1500:]}", flush=True)
-            continue
-        row = json.loads(line[-1])
-        row["probe_wall_s"] = round(time.time() - t0, 1)
+        row = _run_probe(spec["label"], spec["args"])
+        if "error" in row and "fallback" in spec:
+            row = _run_probe(spec["label"] + "-fallback", spec["fallback"])
         rows.append(row)
-        print("OK", json.dumps(row), flush=True)
 
     out = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "rows": rows,
