@@ -300,18 +300,26 @@ def main():
             "real_data": True,
         })
 
+    def flush():
+        # written after EVERY family: a relay hang + timeout kill must not
+        # lose the families already measured on-device
+        out = {"platform": platform, "results": results,
+               "failures": failures}
+        with open(os.path.join(HERE, "EVAL_TPU.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        return out
+
     try:
         for fn in (gue_section, pglue_section, tape_section,
                    contact_section, pronab_section, pdb_section,
                    deepnap_section):
             section(fn)
+            flush()
     finally:
         os.chdir(cwd)
 
-    out = {"platform": platform, "results": results, "failures": failures}
+    out = flush()
     print(json.dumps(out))
-    with open(os.path.join(HERE, "EVAL_TPU.json"), "w") as f:
-        json.dump(out, f, indent=2)
     assert platform != "cpu", "smoke must run on the TPU device"
     assert not failures, failures
     assert len(results) == 7, [r["task"] for r in results]
