@@ -25,9 +25,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 ROWS = [
-    dict(label="ref-default-12L-1024d-ctx2048",
+    dict(label="ref-default-12L-1024d-ctx2048-gb1024",
+         # global batch 1024 = the reference's training default
+         # (train_encoder.py:439-445); mini 8 keeps ~16k tokens per micro
          args="--layers 12 --embd 1024 --heads 8 --ctx 2048 "
-              "--mini 8 --accum 16 --steps 3 --warmup 1"),
+              "--mini 8 --accum 128 --steps 2 --warmup 1"),
     dict(label="mid-617M-12L-1536d-ctx1024",
          args="--layers 12 --embd 1536 --heads 12 --ctx 1024 "
               "--mini 8 --accum 16 --steps 4 --warmup 1"),
