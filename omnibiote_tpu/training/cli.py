@@ -86,6 +86,22 @@ def build_argparser() -> argparse.ArgumentParser:
                    metavar="N",
                    help="device mesh shape, e.g. --mesh_shape 4 2 for "
                         "(data=4, model=2); default: all devices on data")
+    p.add_argument("--moment_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam moment storage dtype (bfloat16 halves "
+                        "optimizer HBM; update math stays fp32). Part of "
+                        "the large-model single-chip recipe (DESIGN.md)")
+    p.add_argument("--grad_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="gradient buffer dtype on the no-accumulation path "
+                        "(clip/Adam still compute in fp32)")
+    p.add_argument("--remat_policy", type=str, default="full",
+                   choices=["full", "dots"],
+                   help="rematerialisation policy when --checkpoint_freq>0")
+    p.add_argument("--gelu", type=str, default="auto",
+                   choices=["auto", "fast", "erf"],
+                   help="GELU implementation: 'auto' = polynomial under "
+                        "bf16 compute, exact erf under fp32")
     return p
 
 
@@ -107,6 +123,7 @@ def main(argv=None):
         block_size=args.ctx_len, vocab_size=2 ** 16, n_layer=args.n_layer,
         n_head=args.n_head, n_embd=args.n_embd, dropout=args.dropout,
         checkpoint_freq=args.checkpoint_freq,
+        remat_policy=args.remat_policy, gelu=args.gelu,
         attn_impl=attn_impl)
     train_cfg = TrainConfig(
         batch_size=args.batch_size, mini_batch_size=args.mini_batch_size,
@@ -121,7 +138,8 @@ def main(argv=None):
         use_padding=args.use_padding, resume_from=args.resume_from,
         base_dir=args.base_dir, seed=args.seed, log_every=args.log_every,
         sharding=sharding,
-        mesh_shape=tuple(args.mesh_shape) if args.mesh_shape else None)
+        mesh_shape=tuple(args.mesh_shape) if args.mesh_shape else None,
+        moment_dtype=args.moment_dtype, grad_dtype=args.grad_dtype)
 
     train_dirs, val_dirs, val_names, proportions = train_cfg.mixture
     banned = [args.banned_token] if args.banned_token is not None else []
