@@ -155,3 +155,43 @@ def test_cli_pp_pipeline_train(corpus_dir, tmp_path):
     recs = [json.loads(l) for l in open(metrics_path)]
     losses = [r["loss"] for r in recs if "loss" in r]
     assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+
+def test_cli_memory_levers_and_gelu(corpus_dir, tmp_path):
+    """The round-4 scale recipe is CLI-reachable: bf16 moments + bf16 grads
+    + dots remat + fast GELU train finite losses, and the moments really
+    carry bfloat16."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from omnibiote_tpu.training.cli import main
+
+    metrics_path = str(tmp_path / "metrics_mx.jsonl")
+    argv = [
+        "--base_dir", corpus_dir, "--train_type", "mixed",
+        "--banned_token", "65533",
+        "--batch_size", "32", "--mini_batch_size", "4",  # A=1 on the 8-dev mesh: bf16-grad path
+        "--n_layer", "2", "--n_head", "2", "--n_embd", "32",
+        "--ctx_len", "64", "--dropout", "0.0",
+        "--token_budget", str(32 * 64 * 40.0),
+        "--test_freq", str(32 * 64 * 1000.0),
+        "--save_freq", str(32 * 64 * 1000.0),
+        "--save_dir", str(tmp_path / "ckpt_mx"), "--save_name", "x",
+        "--max_steps", "4", "--log_every", "1",
+        "--metrics_jsonl", metrics_path,
+        "--disable_flash",
+        "--moment_dtype", "bfloat16", "--grad_dtype", "bfloat16",
+        "--checkpoint_freq", "1", "--remat_policy", "dots",
+        "--gelu", "fast",
+    ]
+    trainer = main(argv)
+    assert trainer.step == 4
+    adam = [s for s in jax.tree.leaves(
+        trainer.opt_state, is_leaf=lambda x: isinstance(
+            x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    mu_leaf = jax.tree.leaves(adam[0].mu)[0]
+    assert mu_leaf.dtype == jnp.bfloat16
+    recs = [json.loads(l) for l in open(metrics_path)]
+    losses = [r["loss"] for r in recs if "loss" in r]
+    assert len(losses) == 4 and all(np.isfinite(l) for l in losses)
