@@ -31,14 +31,17 @@ def main():
 
     # omnibiote-small: 8L / 1024d / 8h, ctx 1024 (README.md:63)
     ctx = 1024
-    model_cfg = obt.OmniBioTAConfig(
-        n_layer=8, n_embd=1024, n_head=8, block_size=ctx,
-        vocab_size=2 ** 16, dropout=0.1, attn_impl="flash",
-        compute_dtype="bfloat16",
-        fused_ce=os.environ.get("BENCH_FUSED_CE", "0") == "1")
     mini = int(os.environ.get("BENCH_MINI_BATCH", "16"))
     accum = int(os.environ.get("BENCH_ACCUM", "2"))
     batch = mini * accum * n_dev
+
+    def make_cfg(gelu):
+        return obt.OmniBioTAConfig(
+            n_layer=8, n_embd=1024, n_head=8, block_size=ctx,
+            vocab_size=2 ** 16, dropout=0.1, attn_impl="flash",
+            compute_dtype="bfloat16", gelu=gelu,
+            fused_ce=os.environ.get("BENCH_FUSED_CE", "0") == "1")
+
     train_cfg = TrainConfig(
         batch_size=batch, mini_batch_size=mini, ctx_len=ctx,
         token_budget=float(batch * ctx * 10000), seed=0)
@@ -53,6 +56,38 @@ def main():
                 pos = rng.integers(32, ctx, size=3)
                 toks[r, pos] = obt.EOS_TOKEN
             yield {"tokens": toks, "segments": segment_ids_np(toks)}
+
+    # GELU policy: env override, else a short measured A/B (fast polynomial
+    # vs exact erf) so the recorded number always uses the winner on THIS
+    # hardware — the two are parity-equivalent under bf16 (DESIGN.md §6).
+    gelu_policy = os.environ.get("BENCH_GELU", "")
+    gelu_ab = None
+    if not gelu_policy:
+        if platform == "tpu":
+            import gc
+
+            def _probe(gelu, steps=6):
+                tr = Trainer(make_cfg(gelu), train_cfg,
+                             batch_iter=batches(), prefetch=2)
+                for _ in range(2):
+                    m = tr.train_step_once()
+                float(m["loss"])
+                t0 = time.time()
+                for _ in range(steps):
+                    m = tr.train_step_once()
+                float(m["loss"])
+                dt = time.time() - t0
+                tr.close()
+                del tr
+                gc.collect()
+                return steps * batch * ctx / dt
+
+            gelu_ab = {g: round(_probe(g), 1) for g in ("fast", "erf")}
+            gelu_policy = max(gelu_ab, key=gelu_ab.get)
+        else:
+            gelu_policy = "auto"
+
+    model_cfg = make_cfg(gelu_policy)
 
     # prefetch=2: staging (host assembly + sharded device_put) runs ahead in
     # the background thread, same as the production CLI path
@@ -126,6 +161,8 @@ def main():
             "platform": platform,
             "tpu_gen": gen,
             "n_devices": n_dev,
+            "gelu": gelu_policy,
+            "gelu_ab_tokens_per_sec": gelu_ab,
             "global_batch": batch,
             "steps": steps,
             "flops_per_token": fpt,
