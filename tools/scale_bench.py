@@ -50,8 +50,15 @@ def _run_probe(label, argstr):
            "--label", label] + argstr.split()
     print("RUN", " ".join(cmd), flush=True)
     t0 = time.time()
-    proc = subprocess.run(cmd, cwd=REPO, text=True, capture_output=True,
-                          timeout=3600)
+    try:
+        proc = subprocess.run(cmd, cwd=REPO, text=True, capture_output=True,
+                              timeout=3600)
+    except subprocess.TimeoutExpired as e:
+        # a relay hang mid-probe must not take the remaining rows with it
+        print(f"TIMEOUT {label}", flush=True)
+        tail = (e.stderr or b"")[-1500:]
+        return {"label": label,
+                "error": "probe timeout 3600s: " + tail.decode("utf-8", "replace")}
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if proc.returncode != 0 or not line:
         print(f"FAIL {label}\n{proc.stderr[-1500:]}", flush=True)
@@ -63,14 +70,7 @@ def _run_probe(label, argstr):
     return row
 
 
-def main():
-    rows = []
-    for spec in ROWS:
-        row = _run_probe(spec["label"], spec["args"])
-        if "error" in row and "fallback" in spec:
-            row = _run_probe(spec["label"] + "-fallback", spec["fallback"])
-        rows.append(row)
-
+def _flush(rows):
     out = {"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "rows": rows,
            "note": ("mfu per the reference's analytic 6N + 12*L*d*T "
@@ -82,6 +82,17 @@ def main():
                     "flops_ratio_e = executed/nominal.")}
     with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
         json.dump(out, f, indent=2)
+
+
+def main():
+    rows = []
+    for spec in ROWS:
+        row = _run_probe(spec["label"], spec["args"])
+        if "error" in row and "fallback" in spec:
+            row = _run_probe(spec["label"] + "-fallback", spec["fallback"])
+        rows.append(row)
+        _flush(rows)  # keep partial artifact rows if a later probe wedges
+
     print(json.dumps({"rows": len(rows),
                       "ok": all("error" not in r for r in rows)}))
 

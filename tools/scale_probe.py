@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--remat-policy", default="full")
     ap.add_argument("--scan-layers", type=int, default=0)
     ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--gelu", default="auto")
     ap.add_argument("--label", default="")
     args = ap.parse_args()
 
@@ -55,7 +56,7 @@ def main():
     model_cfg = obt.OmniBioTAConfig(
         n_layer=args.layers, n_embd=args.embd, n_head=args.heads,
         block_size=args.ctx, vocab_size=2 ** 16, dropout=args.dropout,
-        attn_impl="flash", compute_dtype="bfloat16",
+        attn_impl="flash", compute_dtype="bfloat16", gelu=args.gelu,
         checkpoint_freq=args.remat, remat_policy=args.remat_policy,
         scan_layers=bool(args.scan_layers))
     batch = args.mini * args.accum
