@@ -42,6 +42,15 @@ def record(name, ok, **metrics):
     print(f"{'PASS' if ok else 'FAIL'} {name} {metrics}", flush=True)
 
 
+def guarded(name, fn):
+    """One crashing check (compile failure, relay drop) must not lose the
+    artifact: record it as a failure and keep going."""
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 — artifact robustness
+        record(name, False, error=repr(e)[:400])
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -63,20 +72,23 @@ def main():
         return jnp.asarray(segment_ids_np(toks))
 
     # ---- 1. decoupled fwd parity (dropout 0, bf16) -----------------------
-    B, T = 2, 2048
-    segs = segs_randeos(B, T, 5)
-    rope = rope_tables(D, T, 10000.0)
-    qb = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.bfloat16)
+    def check_decoupled_fwd():
+        B, T = 2, 2048
+        segs = segs_randeos(B, T, 5)
+        rope = rope_tables(D, T, 10000.0)
+        qb = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.bfloat16)
 
-    def fwd(bkvf):
-        return fa.flash_attention(qb, qb, qb, segment_ids=segs, scale=scale,
-                                  block_q=512, block_kv=512, rope=rope,
-                                  block_kv_fwd=bkvf)
+        def fwd(bkvf):
+            return fa.flash_attention(qb, qb, qb, segment_ids=segs,
+                                      scale=scale, block_q=512, block_kv=512,
+                                      rope=rope, block_kv_fwd=bkvf)
 
-    a = np.asarray(jax.jit(lambda: fwd(None))()).astype(np.float32)
-    b = np.asarray(jax.jit(lambda: fwd(T))()).astype(np.float32)
-    rel = float(np.abs(a - b).max() / (np.abs(a).max() + 1e-9))
-    record("decoupled_fwd_parity", rel < 2e-2, rel_err=rel, T=T)
+        a = np.asarray(jax.jit(lambda: fwd(None))()).astype(np.float32)
+        b = np.asarray(jax.jit(lambda: fwd(T))()).astype(np.float32)
+        rel = float(np.abs(a - b).max() / (np.abs(a).max() + 1e-9))
+        record("decoupled_fwd_parity", rel < 2e-2, rel_err=rel, T=T)
+
+    guarded("decoupled_fwd_parity", check_decoupled_fwd)
 
     # ---- 2. FD grad through dropout at decoupled blocks (fp32) -----------
     def fd_check(name, attn_kwargs, T, B=2, n_probes=3, seed=1):
@@ -109,9 +121,10 @@ def main():
             ok_all = ok_all and err <= 4e-2
         record(name, ok_all, worst_rel_err=worst, T=T)
 
-    fd_check("decoupled_dropout_fd",
-             dict(block_q=512, block_kv=512, block_kv_fwd=2048,
-                  dropout_rate=0.2), T=2048)
+    guarded("decoupled_dropout_fd", lambda: fd_check(
+        "decoupled_dropout_fd",
+        dict(block_q=512, block_kv=512, block_kv_fwd=2048,
+             dropout_rate=0.2), T=2048))
 
     # ---- 3/4. fused backward parity vs split (single- and multi-kv) ------
     def grad_fn(T, segs, ropeT, bq, bkv, drop):
@@ -122,6 +135,32 @@ def main():
                 dropout_rng=kk).astype(jnp.float32))
         return jax.jit(jax.grad(f))
 
+    def fused_parity(label, T, B, bq, bkv, flag):
+        segsT = segs_randeos(B, T, 5, seed=2)
+        ropeT = rope_tables(D, T, 10000.0)
+        q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.bfloat16)
+        worst = 0.0
+        ok_all = True
+        try:
+            for drop in (0.0, 0.1):
+                setattr(fa, flag, True)
+                g_f = np.asarray(
+                    grad_fn(T, segsT, ropeT, bq, bkv, drop)(q, key)
+                ).astype(np.float32)
+                setattr(fa, flag, False)
+                g_s = np.asarray(
+                    grad_fn(T, segsT, ropeT, bq, bkv, drop)(q, key)
+                ).astype(np.float32)
+                rel = float(np.abs(g_f - g_s).max()
+                            / (np.abs(g_s).max() + 1e-9))
+                # dropout 0: the fused path must be BIT-identical to split
+                ok = (rel == 0.0) if drop == 0.0 else (rel < 2e-2)
+                worst = max(worst, rel)
+                ok_all = ok_all and ok
+        finally:
+            setattr(fa, flag, True)
+        record(label, ok_all, worst_rel_err=worst, T=T)
+
     for label, T, B, bq, bkv, flag in [
             ("fused_single_kv_parity", 1024, 4, 512, 1024,
              "FUSED_SINGLE_KV_BWD"),
@@ -129,63 +168,54 @@ def main():
              "FUSED_MULTIKV_BWD"),
             ("fused_multi_kv_parity_4096", 4096, 2, 512, 512,
              "FUSED_MULTIKV_BWD")]:
-        segsT = segs_randeos(B, T, 5, seed=2)
-        ropeT = rope_tables(D, T, 10000.0)
-        q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.bfloat16)
-        worst = 0.0
-        ok_all = True
-        for drop in (0.0, 0.1):
-            setattr(fa, flag, True)
-            g_f = np.asarray(grad_fn(T, segsT, ropeT, bq, bkv, drop)(q, key),
-                             ).astype(np.float32)
-            setattr(fa, flag, False)
-            g_s = np.asarray(grad_fn(T, segsT, ropeT, bq, bkv, drop)(q, key),
-                             ).astype(np.float32)
-            setattr(fa, flag, True)
-            rel = float(np.abs(g_f - g_s).max() / (np.abs(g_s).max() + 1e-9))
-            # dropout 0: the fused path must be BIT-identical to split
-            ok = (rel == 0.0) if drop == 0.0 else (rel < 2e-2)
-            worst = max(worst, rel)
-            ok_all = ok_all and ok
-        record(label, ok_all, worst_rel_err=worst, T=T)
+        guarded(label, lambda a=label, b=T, c=B, d=bq, e=bkv, f=flag:
+                fused_parity(a, b, c, d, e, f))
 
     # ---- 5. chunked-kv dropout numbering (T past the VMEM gate) ----------
     # Tk*H*D*12B = 8192*8*128*12 = 100 MB > 64 MB gate -> kv-chunked path
-    fd_check("chunked_kv_dropout_fd",
-             dict(block_q=512, block_kv=512, dropout_rate=0.2),
-             T=8192, B=1, n_probes=3, seed=3)
+    guarded("chunked_kv_dropout_fd", lambda: fd_check(
+        "chunked_kv_dropout_fd",
+        dict(block_q=512, block_kv=512, dropout_rate=0.2),
+        T=8192, B=1, n_probes=3, seed=3))
 
     # ---- 6. segment-skip == no-skip bit identity --------------------------
-    B, T = 4, 2048
-    segs = segs_randeos(B, T, 8, seed=4)
-    ropeT = rope_tables(D, T, 10000.0)
-    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.bfloat16)
+    def check_skip_identity():
+        B, T = 4, 2048
+        segs = segs_randeos(B, T, 8, seed=4)
+        ropeT = rope_tables(D, T, 10000.0)
+        q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.bfloat16)
 
-    def fwd_skip(skip):
-        return fa.flash_attention(q, q, q, segment_ids=segs, scale=scale,
-                                  block_q=512, block_kv=512, rope=ropeT,
-                                  segment_skip=skip)
+        def fwd_skip(skip):
+            return fa.flash_attention(q, q, q, segment_ids=segs, scale=scale,
+                                      block_q=512, block_kv=512, rope=ropeT,
+                                      segment_skip=skip)
 
-    a = np.asarray(jax.jit(lambda: fwd_skip(True))())
-    b = np.asarray(jax.jit(lambda: fwd_skip(False))())
-    identical = bool((a == b).all())
-    record("skip_noskip_identity", identical, bit_identical=identical, T=T)
+        a = np.asarray(jax.jit(lambda: fwd_skip(True))())
+        b = np.asarray(jax.jit(lambda: fwd_skip(False))())
+        identical = bool((a == b).all())
+        record("skip_noskip_identity", identical, bit_identical=identical,
+               T=T)
+
+    guarded("skip_noskip_identity", check_skip_identity)
 
     # ---- 7. int8 serving attention cosine vs bf16 -------------------------
-    from omnibiote_tpu.ops.int8_attention import int8_flash_attention
-    B, T = 2, 1024
-    segs = segs_randeos(B, T, 3, seed=5)
-    ropeT = rope_tables(D, T, 10000.0)
-    q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.bfloat16)
-    o8 = np.asarray(jax.jit(lambda: int8_flash_attention(
-        q, q, q, scale=scale, segment_ids=segs, rope=ropeT))()
-        ).astype(np.float32).ravel()
-    ob = np.asarray(jax.jit(lambda: fa.flash_attention(
-        q, q, q, segment_ids=segs, scale=scale, block_q=512, block_kv=1024,
-        rope=ropeT))()).astype(np.float32).ravel()
-    cos = float(np.dot(o8, ob) / (np.linalg.norm(o8) * np.linalg.norm(ob)
-                                  + 1e-9))
-    record("int8_cosine", cos >= 0.999, cosine=cos, T=T)
+    def check_int8_cosine():
+        from omnibiote_tpu.ops.int8_attention import int8_flash_attention
+        B, T = 2, 1024
+        segs = segs_randeos(B, T, 3, seed=5)
+        ropeT = rope_tables(D, T, 10000.0)
+        q = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.bfloat16)
+        o8 = np.asarray(jax.jit(lambda: int8_flash_attention(
+            q, q, q, scale=scale, segment_ids=segs, rope=ropeT))()
+            ).astype(np.float32).ravel()
+        ob = np.asarray(jax.jit(lambda: fa.flash_attention(
+            q, q, q, segment_ids=segs, scale=scale, block_q=512,
+            block_kv=1024, rope=ropeT))()).astype(np.float32).ravel()
+        cos = float(np.dot(o8, ob) / (np.linalg.norm(o8) * np.linalg.norm(ob)
+                                      + 1e-9))
+        record("int8_cosine", cos >= 0.999, cosine=cos, T=T)
+
+    guarded("int8_cosine", check_int8_cosine)
 
     out = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
