@@ -210,14 +210,15 @@ class TrainConfig:
     # synchronous, the multi-GB npz/disk work overlaps training.
     async_checkpoint: bool = False
     # Adam moment storage dtype ('float32' | 'bfloat16'). bf16 moments halve
-    # the optimizer's HBM footprint (the lever that lets 16L/2048d (1.2B)
-    # train on one 16 GB chip: fp32 master 4.8 GB + fp32 moments 9.6 GB
-    # alone exceed HBM). The moment UPDATE always computes in fp32 — only
-    # the carried state is rounded; see optim.scale_by_adam_mixed.
+    # the optimizer's HBM footprint (the lever that lets 16L/2048d (1.07B
+    # params) train on one 16 GB chip: fp32 master 4.3 GB + fp32 moments
+    # 8.6 GB + fp32 grads 4.3 GB alone exceed HBM). The moment UPDATE
+    # always computes in fp32 — only the carried state is rounded; see
+    # optim.scale_by_adam_mixed.
     moment_dtype: str = "float32"
     # Gradient dtype handed to the optimizer on the A=1 (no-accumulation)
-    # path ('float32' | 'bfloat16'). bf16 grads halve the transient grad
-    # buffer (2.4 GB at 1.2B); clip/Adam arithmetic still runs fp32.
+    # path ('float32' | 'bfloat16'). bf16 grads halve the 4.3 GB (at 1.07B)
+    # transient grad buffer; clip/Adam arithmetic still runs fp32.
     # Accumulating paths (A>1) always carry fp32 — summing micro-grads in
     # bf16 loses low-order bits — so this only applies when A == 1.
     grad_dtype: str = "float32"

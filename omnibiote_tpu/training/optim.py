@@ -116,7 +116,7 @@ def scale_by_adam_mixed(b1: float, b2: float, eps: float,
                         state_dtype) -> optax.GradientTransformation:
     """optax.scale_by_adam semantics with the carried moments stored in
     `state_dtype` (bf16 halves the optimizer's HBM footprint — the lever
-    that fits 1.2B fp32-master training on one 16 GB chip). All arithmetic
+    that fits 1.07B fp32-master training on one 16 GB chip). All arithmetic
     (moment EMA, bias correction, the update quotient) runs in fp32; only
     the state written back between steps is rounded. State is the stock
     optax.ScaleByAdamState so checkpoints keep the same tree structure."""

@@ -86,8 +86,8 @@ def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
         if A == 1:
             # no accumulation: skip the scan and its full-size fp32 grad
             # carry (one read+write of the whole grad tree per micro).
-            # grad_dtype='bfloat16' halves this transient buffer (2.4 GB at
-            # 1.2B); the weight multiply stays in the grad dtype (w is 0/1,
+            # grad_dtype='bfloat16' halves this transient buffer (4.3 GB fp32
+            # at the 1.07B config); the weight multiply stays in the grad dtype (w is 0/1,
             # exact in bf16) so no fp32 buffer is materialized — clip/Adam
             # still compute in fp32 (optim.py).
             gdt = jnp.dtype(getattr(train_cfg, "grad_dtype", "float32"))

@@ -539,7 +539,7 @@ def test_dp_sp_ctx8k_batch_gt1():
 
 
 def test_mixed_moment_and_grad_dtypes_track_fp32():
-    """The 1.2B-on-one-chip memory levers (moment_dtype=bf16 Adam state +
+    """The 1.07B-on-one-chip memory levers (moment_dtype=bf16 Adam state +
     grad_dtype=bf16 on the A=1 path) keep training dynamics on the fp32
     curve: same data/seed, 20 steps, loss trajectories track within bf16
     rounding and the mixed run converges."""

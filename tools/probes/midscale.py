@@ -1,4 +1,4 @@
-"""TPU: omnibiote-mid (12L/1536d/12h, ~617M params) single-chip training
+"""TPU: omnibiote-mid (12L/1536d/12h, 541M params (440M non-embedding)) single-chip training
 throughput at ctx 1024 — refresh of the round-2 69%-MFU claim."""
 import time
 import numpy as np

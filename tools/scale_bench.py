@@ -7,10 +7,14 @@ Rows (r3 VERDICT #1):
     reference's own `assert n_embd % n_head == 0` (model.py:77) rejects at
     n_embd=1024; we bench n_head=8 = head_dim 128, the reference's only
     working head shape at this width).
-  * 617M — 12L/1536d/12h at ctx 1024 (the round-2/3 "69% MFU" config).
-  * 1.2B — 16L/2048d/16h: fp32 master + fp32 moments alone exceed the
-    16 GB chip; trains via moment_dtype=bfloat16 + grad_dtype=bfloat16
-    (A=1) + remat (TrainConfig levers, optim.scale_by_adam_mixed).
+  * mid — 12L/1536d/12h at ctx 1024 (the round-2/3 "69% MFU" config,
+    historically mislabeled "617M": it is 541M params all-in, 440M
+    non-embedding).
+  * big — 16L/2048d/16h (1.07B all-in / 940M non-embedding; earlier
+    rounds rounded this to "1.2B"): fp32 master + fp32 moments alone
+    exceed the 16 GB chip; trains via moment_dtype=bfloat16 +
+    grad_dtype=bfloat16 (A=1) + remat (TrainConfig levers,
+    optim.scale_by_adam_mixed).
 
 One subprocess per row (tools/scale_probe.py): two full-size trainers in
 one process would exceed HBM.
@@ -30,10 +34,10 @@ ROWS = [
          # (train_encoder.py:439-445); mini 8 keeps ~16k tokens per micro
          args="--layers 12 --embd 1024 --heads 8 --ctx 2048 "
               "--mini 8 --accum 128 --steps 2 --warmup 1"),
-    dict(label="mid-617M-12L-1536d-ctx1024",
+    dict(label="mid-541M-12L-1536d-ctx1024",
          args="--layers 12 --embd 1536 --heads 12 --ctx 1024 "
               "--mini 8 --accum 16 --steps 4 --warmup 1"),
-    dict(label="big-1.2B-16L-2048d-ctx1024",
+    dict(label="big-1.07B-16L-2048d-ctx1024",
          args="--layers 16 --embd 2048 --heads 16 --ctx 1024 "
               "--mini 8 --accum 1 --steps 6 --warmup 2 "
               "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1",
