@@ -16,6 +16,31 @@ import numpy as np
 
 
 def main():
+    # Fail fast with an explicit JSON line if the TPU relay is unreachable.
+    # Device discovery blocks inside the plugin's C layer (SIGALRM can't
+    # interrupt it), so probe in a disposable subprocess under a timeout;
+    # otherwise the driver records a bare timeout instead of a diagnosable
+    # artifact.
+    import subprocess
+    import sys
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            timeout=int(os.environ.get("BENCH_DISCOVERY_TIMEOUT_S", "180")),
+            capture_output=True)
+        ok = probe.returncode == 0
+        why = probe.stderr.decode()[-300:]
+    except subprocess.TimeoutExpired:
+        ok, why = False, "device discovery timed out"
+    if not ok:
+        print(json.dumps({
+            "metric": "tokens_per_sec_per_chip", "value": 0,
+            "unit": "tokens/sec/chip", "vs_baseline": 0,
+            "error": f"device discovery failed: {why}",
+        }))
+        return
+
     import jax
 
     import omnibiote_tpu as obt
