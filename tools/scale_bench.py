@@ -60,9 +60,10 @@ def _run_probe(label, argstr):
     except subprocess.TimeoutExpired as e:
         # a relay hang mid-probe must not take the remaining rows with it
         print(f"TIMEOUT {label}", flush=True)
-        tail = (e.stderr or b"")[-1500:]
-        return {"label": label,
-                "error": "probe timeout 3600s: " + tail.decode("utf-8", "replace")}
+        tail = e.stderr or ""
+        if isinstance(tail, bytes):  # text=True gives str, but only if captured
+            tail = tail.decode("utf-8", "replace")
+        return {"label": label, "error": "probe timeout 3600s: " + tail[-1500:]}
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if proc.returncode != 0 or not line:
         print(f"FAIL {label}\n{proc.stderr[-1500:]}", flush=True)
