@@ -70,6 +70,9 @@ def _load_lib():
         lib.obt_spm_train.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]
+        lib.obt_spm_train_ex.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
         lib.obt_pack_lines.restype = ctypes.c_long
         lib.obt_pack_lines.argtypes = [
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long),
@@ -201,17 +204,23 @@ class SentencePieceProcessor:
 
 def train_bpe(sentences: Iterable[str], vocab_size: int, out_path: str,
               user_defined: Sequence[str] = (), control: Sequence[str] = (),
-              max_piece_len: int = 16) -> str:
+              max_piece_len: int = 16, naive: bool = False) -> str:
     """Train a BPE model and write a loadable .model file.
 
     Fills the reference's missing tokenizer-training step (SURVEY.md C4):
     no script in the reference produces its tokenizers/*.model artifacts.
+
+    The default trainer is the linked-list + lazy-heap fast path
+    (O((corpus + merges) log) — full-corpus vocab training); naive=True
+    selects the O(merges * corpus) reference-shaped loop it is
+    parity-tested against (byte-identical .model output).
     """
     lib = _load_lib()
     blob = "\n".join(sentences).encode("utf-8")
-    rc = lib.obt_spm_train(
+    rc = lib.obt_spm_train_ex(
         blob, len(blob), vocab_size, ",".join(user_defined).encode(),
-        ",".join(control).encode(), max_piece_len, out_path.encode())
+        ",".join(control).encode(), max_piece_len, out_path.encode(),
+        1 if naive else 0)
     if rc != 0:
         raise RuntimeError(f"BPE training failed (rc={rc})")
     return out_path

@@ -99,10 +99,12 @@ int obt_spm_piece_type(void* h, int id) {
 }
 
 // Train a BPE model from newline-joined sentences; writes model file.
-// Returns 0 on success.
-int obt_spm_train(const char* sentences, long sentences_len, int vocab_size,
-                  const char* user_defined_csv, const char* control_csv,
-                  int max_piece_len, const char* out_path) {
+// Returns 0 on success. naive != 0 selects the O(merges * corpus) oracle
+// loop; 0 the fast trainer (identical output, parity-tested).
+int obt_spm_train_ex(const char* sentences, long sentences_len,
+                     int vocab_size, const char* user_defined_csv,
+                     const char* control_csv, int max_piece_len,
+                     const char* out_path, int naive) {
   std::vector<std::string> sents;
   const char* p = sentences;
   const char* end = sentences + sentences_len;
@@ -128,7 +130,8 @@ int obt_spm_train(const char* sentences, long sentences_len, int vocab_size,
     return out;
   };
   auto pieces = obt::TrainBpe(sents, vocab_size, split_csv(user_defined_csv),
-                              split_csv(control_csv), max_piece_len);
+                              split_csv(control_csv), max_piece_len,
+                              naive != 0);
   std::string blob =
       obt::SpmModel::Serialize(pieces, "identity", true, true);
   FILE* f = std::fopen(out_path, "wb");
@@ -136,6 +139,14 @@ int obt_spm_train(const char* sentences, long sentences_len, int vocab_size,
   std::fwrite(blob.data(), 1, blob.size(), f);
   std::fclose(f);
   return 0;
+}
+
+int obt_spm_train(const char* sentences, long sentences_len, int vocab_size,
+                  const char* user_defined_csv, const char* control_csv,
+                  int max_piece_len, const char* out_path) {
+  return obt_spm_train_ex(sentences, sentences_len, vocab_size,
+                          user_defined_csv, control_csv, max_piece_len,
+                          out_path, 0);
 }
 
 }  // extern "C"

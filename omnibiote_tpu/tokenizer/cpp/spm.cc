@@ -562,14 +562,23 @@ std::string SpmModel::Serialize(const std::vector<Piece>& pieces,
 // BPE trainer
 // ---------------------------------------------------------------------------
 
-std::vector<Piece> TrainBpe(const std::vector<std::string>& sentences,
-                            int vocab_size,
-                            const std::vector<std::string>& user_defined,
-                            const std::vector<std::string>& control,
-                            int max_piece_len) {
+namespace {
+
+struct TrainPrep {
+  std::vector<Piece> pieces;  // specials prefix
+  std::vector<std::vector<std::string>> corpus;
+  std::map<std::string, int64_t> char_freq;
+  int64_t n_merges = 0;
+};
+
+TrainPrep PrepTrainCorpus(const std::vector<std::string>& sentences,
+                          int vocab_size,
+                          const std::vector<std::string>& user_defined,
+                          const std::vector<std::string>& control) {
+  TrainPrep prep;
   // Specials first: <unk>, <s>, </s>, then user-defined symbols — the layout
   // of the reference tokenizers (tokenizers/mixed_bpe.vocab:1-20).
-  std::vector<Piece> pieces;
+  auto& pieces = prep.pieces;
   pieces.push_back({"<unk>", 0.0f, kUnknown});
   pieces.push_back({"<s>", 0.0f, kControl});
   pieces.push_back({"</s>", 0.0f, kControl});
@@ -583,8 +592,8 @@ std::vector<Piece> TrainBpe(const std::vector<std::string>& sentences,
 
   // Each sentence -> list of unicode chars, with protected symbols removed
   // from training (they're atomic).
-  std::vector<std::vector<std::string>> corpus;
-  std::map<std::string, int64_t> char_freq;
+  auto& corpus = prep.corpus;
+  auto& char_freq = prep.char_freq;
   for (const auto& raw : sentences) {
     std::string s = " " + raw;  // dummy prefix
     std::vector<std::string> chars;
@@ -616,6 +625,17 @@ std::vector<Piece> TrainBpe(const std::vector<std::string>& sentences,
   for (auto& w : corpus)
     for (auto& ch : w) char_freq[ch]++;
 
+  prep.n_merges = vocab_size - static_cast<int64_t>(pieces.size()) -
+                  static_cast<int64_t>(char_freq.size());
+  return prep;
+}
+
+// Reference-shaped merge loop: recount-free but applies each merge with a
+// full corpus scan — O(n_merges * corpus). Kept as the semantics oracle the
+// fast path is parity-tested against (tests/test_tokenizer.py).
+std::vector<std::string> MergeLoopNaive(
+    std::vector<std::vector<std::string>>& corpus, int64_t n_merges,
+    int max_piece_len) {
   // Agglomerative merging with incremental pair counts.
   struct PairInfo {
     int64_t count = 0;
@@ -629,9 +649,6 @@ std::vector<Piece> TrainBpe(const std::vector<std::string>& sentences,
   };
   count_all();
 
-  int64_t n_merges =
-      vocab_size - static_cast<int64_t>(pieces.size()) -
-      static_cast<int64_t>(char_freq.size());
   std::vector<std::string> merged_pieces;
   for (int64_t m = 0; m < n_merges; ++m) {
     // best pair by count (ties: lexicographic for determinism)
@@ -670,6 +687,158 @@ std::vector<Piece> TrainBpe(const std::vector<std::string>& sentences,
     }
     pair_counts.erase(best);
   }
+  return merged_pieces;
+}
+
+// Fast merge loop: same selection and application semantics as
+// MergeLoopNaive, but O((corpus + merges) log) instead of
+// O(n_merges * corpus):
+//   * symbols interned to int ids; each word is a doubly-linked list, so a
+//     merge touches only its own occurrences;
+//   * pair counts in a hash map (authoritative) with per-pair occurrence
+//     lists; every count increment also records the occurrence;
+//   * best-pair selection through a lazy max-heap ordered exactly like the
+//     naive linear scan (count desc, then lexicographically smallest pair):
+//     stale entries are re-pushed with their current count on pop, so for
+//     every pair the heap always holds an entry >= its live count.
+std::vector<std::string> MergeLoopFast(
+    std::vector<std::vector<std::string>>& corpus, int64_t n_merges,
+    int max_piece_len) {
+  std::vector<std::string> syms;
+  std::vector<int> slen;
+  std::unordered_map<std::string, int32_t> intern;
+  auto sym_id = [&](const std::string& s) -> int32_t {
+    auto it = intern.find(s);
+    if (it != intern.end()) return it->second;
+    int32_t id = static_cast<int32_t>(syms.size());
+    intern.emplace(s, id);
+    syms.push_back(s);
+    slen.push_back(static_cast<int>(s.size()));
+    return id;
+  };
+
+  struct Word {
+    std::vector<int32_t> sym, nxt, prv;
+  };
+  std::vector<Word> words;
+  words.reserve(corpus.size());
+  for (auto& w : corpus) {
+    Word W;
+    int n = static_cast<int>(w.size());
+    W.sym.resize(n);
+    W.nxt.resize(n);
+    W.prv.resize(n);
+    for (int i = 0; i < n; ++i) {
+      W.sym[i] = sym_id(w[i]);
+      W.nxt[i] = (i + 1 < n) ? i + 1 : -1;
+      W.prv[i] = i - 1;
+    }
+    words.push_back(std::move(W));
+  }
+
+  auto pkey = [](int32_t a, int32_t b) {
+    return (static_cast<uint64_t>(static_cast<uint32_t>(a)) << 32) |
+           static_cast<uint32_t>(b);
+  };
+  std::unordered_map<uint64_t, int64_t> count;
+  std::unordered_map<uint64_t, std::vector<std::pair<int32_t, int32_t>>> occ;
+
+  struct Entry {
+    int64_t c;
+    int32_t a, b;
+  };
+  // priority_queue keeps the LARGEST element on top under this "worse-than"
+  // comparator; ids compare through their strings to reproduce the naive
+  // tie-break (lexicographically smallest pair wins at equal count).
+  auto worse = [&syms](const Entry& x, const Entry& y) {
+    if (x.c != y.c) return x.c < y.c;
+    if (x.a != y.a) return syms[x.a] > syms[y.a];
+    return syms[x.b] > syms[y.b];
+  };
+  std::priority_queue<Entry, std::vector<Entry>, decltype(worse)> heap(worse);
+
+  auto inc = [&](int32_t a, int32_t b, int32_t w, int32_t i) {
+    uint64_t k = pkey(a, b);
+    int64_t c = ++count[k];
+    occ[k].push_back({w, i});
+    heap.push({c, a, b});
+  };
+  auto dec = [&](int32_t a, int32_t b) { --count[pkey(a, b)]; };
+
+  for (int32_t w = 0; w < static_cast<int32_t>(words.size()); ++w) {
+    auto& W = words[w];
+    for (int32_t i = 0; i + 1 < static_cast<int32_t>(W.sym.size()); ++i)
+      inc(W.sym[i], W.sym[i + 1], w, i);
+  }
+
+  std::vector<std::string> merged_pieces;
+  while (static_cast<int64_t>(merged_pieces.size()) < n_merges &&
+         !heap.empty()) {
+    Entry e = heap.top();
+    heap.pop();
+    uint64_t k = pkey(e.a, e.b);
+    auto it = count.find(k);
+    int64_t cur = (it == count.end()) ? 0 : it->second;
+    if (cur != e.c) {
+      // Stale snapshot. Re-push at the live count so the pair stays
+      // selectable after decrements (increments push their own entries).
+      if (cur >= 2) heap.push({cur, e.a, e.b});
+      continue;
+    }
+    // Valid top == the global max live count; nothing mergeable remains.
+    if (cur < 2) break;
+    // Over-long concatenations are never merged (naive skips them in its
+    // scan); drop the entry — future increments re-push, and get dropped.
+    if (slen[e.a] + slen[e.b] > max_piece_len) continue;
+
+    const int32_t A = e.a, B = e.b;
+    const int32_t M = sym_id(syms[A] + syms[B]);
+    merged_pieces.push_back(syms[M]);
+
+    auto list = std::move(occ[k]);
+    // Greedy left-to-right application within each word, exactly as the
+    // naive scan: in a self-pair chain "A A A" the (0,1) occurrence merges
+    // and (1,2) dies. Creation-order appends can be unsorted, so sort.
+    std::sort(list.begin(), list.end());
+    for (auto [w, i] : list) {
+      auto& W = words[w];
+      if (W.sym[i] != A) continue;  // node dead or rewritten since recording
+      int32_t j = W.nxt[i];
+      if (j < 0 || W.sym[j] != B) continue;
+      int32_t p = W.prv[i], q = W.nxt[j];
+      if (p >= 0) {
+        dec(W.sym[p], A);
+        inc(W.sym[p], M, w, p);
+      }
+      if (q >= 0) {
+        dec(B, W.sym[q]);
+        inc(M, W.sym[q], w, i);
+      }
+      W.sym[i] = M;
+      W.nxt[i] = q;
+      if (q >= 0) W.prv[q] = i;
+      W.sym[j] = -1;  // dead
+    }
+    count.erase(k);
+    occ.erase(k);
+  }
+  return merged_pieces;
+}
+
+}  // namespace
+
+std::vector<Piece> TrainBpe(const std::vector<std::string>& sentences,
+                            int vocab_size,
+                            const std::vector<std::string>& user_defined,
+                            const std::vector<std::string>& control,
+                            int max_piece_len, bool naive) {
+  TrainPrep prep =
+      PrepTrainCorpus(sentences, vocab_size, user_defined, control);
+  std::vector<std::string> merged_pieces =
+      naive ? MergeLoopNaive(prep.corpus, prep.n_merges, max_piece_len)
+            : MergeLoopFast(prep.corpus, prep.n_merges, max_piece_len);
+  std::vector<Piece>& pieces = prep.pieces;
+  std::map<std::string, int64_t>& char_freq = prep.char_freq;
 
   // merged pieces: score = -rank (matches the reference vocab layout)
   float score = 0.0f;

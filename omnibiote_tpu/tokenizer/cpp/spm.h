@@ -117,10 +117,13 @@ class SpmModel {
 
 // BPE trainer: builds a vocab of `vocab_size` pieces from sentences.
 // character coverage is implicit (all seen chars become single-char pieces).
+// naive=true runs the O(n_merges * corpus) reference-shaped loop (the
+// semantics oracle); the default fast path is the linked-list + lazy-heap
+// trainer with identical output (full-corpus vocab training, DESIGN.md §6).
 std::vector<Piece> TrainBpe(const std::vector<std::string>& sentences,
                             int vocab_size,
                             const std::vector<std::string>& user_defined,
                             const std::vector<std::string>& control,
-                            int max_piece_len);
+                            int max_piece_len, bool naive = false);
 
 }  // namespace obt

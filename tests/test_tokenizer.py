@@ -130,3 +130,36 @@ def test_trainer_roundtrip(tmp_path):
     # merged pieces exist (multi-char)
     lens = [len(sp.id_to_piece(i)) for i in range(6, sp.vocab_size())]
     assert max(lens) > 1
+
+
+def test_fast_trainer_matches_naive(tmp_path):
+    """The lazy-heap fast trainer (cpp/spm.cc MergeLoopFast) must produce a
+    byte-identical .model to the O(merges*corpus) naive oracle loop — same
+    merge order (count desc, lexicographic tie-break), same greedy
+    left-to-right application on overlapping self-pair chains."""
+    rng = np.random.default_rng(7)
+    sents = []
+    for i in range(250):
+        s = "".join(rng.choice(list("ACGT"), size=int(rng.integers(20, 70))))
+        if i % 4 == 0:
+            s += "A" * int(rng.integers(3, 9))  # self-pair chains "AAA..."
+        if i % 6 == 0:
+            s = "ABABABAB" + s  # alternating overlaps
+        sents.append(s)
+    for i in range(40):  # second alphabet + protected symbols mid-sentence
+        sents.append("<PEP>" + "".join(rng.choice(
+            list("ACDEFGHIKLMNPQRSTVWY"),
+            size=int(rng.integers(10, 50)))) + "<EOS>")
+    kw = dict(vocab_size=420, user_defined=["<PEP>", "<DNA>"],
+              control=["<EOS>"], max_piece_len=8)
+    fast = str(tmp_path / "fast.model")
+    naive = str(tmp_path / "naive.model")
+    train_bpe(sents, out_path=fast, **kw)
+    train_bpe(sents, out_path=naive, naive=True, **kw)
+    with open(fast, "rb") as f, open(naive, "rb") as g:
+        assert f.read() == g.read()
+    # and the trained model is loadable + roundtrips (control pieces are
+    # dropped by decode, per sentencepiece semantics)
+    sp = SentencePieceProcessor(fast)
+    assert sp.decode(sp.encode("<PEP>MKVLAW<EOS>")) == "<PEP>MKVLAW"
+    assert sp.decode(sp.encode("ACGTACGT")) == "ACGTACGT"
