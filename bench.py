@@ -41,6 +41,34 @@ def main():
         }))
         return
 
+    # Discovery succeeded, but the relay can still hang mid-run (observed:
+    # multi-hour outages). A watchdog prints the best-known partial JSON and
+    # exits rather than losing the whole artifact to a driver timeout: before
+    # the training measurement that is an error line; after it, the real
+    # throughput number with the serving probes marked hung.
+    import threading
+
+    state = {"partial": {
+        "metric": "tokens_per_sec_per_chip", "value": 0,
+        "unit": "tokens/sec/chip", "vs_baseline": 0,
+        "error": "relay hung before the training measurement completed",
+    }, "done": False}
+    lock = threading.Lock()
+
+    def _emit(payload):
+        with lock:
+            if state["done"]:
+                return
+            state["done"] = True
+            print(json.dumps(payload), flush=True)
+
+    def _watchdog():
+        time.sleep(int(os.environ.get("BENCH_TOTAL_TIMEOUT_S", "1800")))
+        _emit(state["partial"])
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     import omnibiote_tpu as obt
@@ -139,6 +167,20 @@ def main():
     fpt = flops_per_token(n_body, model_cfg.n_layer, model_cfg.n_embd, ctx)
     achieved_mfu = mfu(tps, fpt, n_chips=n_dev, generation=gen)
 
+    # the headline number is now safe: if a serving probe hangs, the
+    # watchdog emits this instead of nothing
+    state["partial"] = {
+        "metric": "omnibiote-small MLM pretrain tokens/sec/chip (ctx 1024, bf16)",
+        "value": round(tps_chip, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(achieved_mfu / 0.50, 4),
+        "detail": {"mfu": round(achieved_mfu, 4), "platform": platform,
+                   "tpu_gen": gen, "n_devices": n_dev, "gelu": gelu_policy,
+                   "gelu_ab_tokens_per_sec": gelu_ab, "global_batch": batch,
+                   "steps": steps, "flops_per_token": fpt,
+                   "error": "relay hung during the serving probes"},
+    }
+
     # encode() seqs/sec at ctx 1024 (BASELINE.md metric 2)
     import jax.numpy as jnp
     from omnibiote_tpu import encode
@@ -173,7 +215,7 @@ def main():
     b = np.asarray(eq, np.float64).ravel()
     int8_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
 
-    print(json.dumps({
+    _emit({
         "metric": "omnibiote-small MLM pretrain tokens/sec/chip (ctx 1024, bf16)",
         "value": round(tps_chip, 1),
         "unit": "tokens/sec/chip",
@@ -192,7 +234,7 @@ def main():
             "steps": steps,
             "flops_per_token": fpt,
         },
-    }))
+    })
 
 
 if __name__ == "__main__":
