@@ -63,7 +63,9 @@ def main():
             print(json.dumps(payload), flush=True)
 
     def _watchdog():
-        time.sleep(int(os.environ.get("BENCH_TOTAL_TIMEOUT_S", "1800")))
+        # default sits below the queue/driver-side `timeout 1800` wrappers so
+        # the partial JSON always lands before an external SIGTERM
+        time.sleep(int(os.environ.get("BENCH_TOTAL_TIMEOUT_S", "1500")))
         _emit(state["partial"])
         os._exit(0)
 
