@@ -586,3 +586,27 @@ def test_mixed_moment_checkpoint_resume_exact(tmp_path):
         next(tr2.batch_iter)
     resumed = [float(tr2.train_step_once()["loss"]) for _ in range(3)]
     np.testing.assert_allclose(cont, resumed, rtol=0, atol=0)
+
+
+def test_mixed_moments_compose_with_fsdp():
+    """The bf16-moment memory lever composes with ZeRO-style sharding: the
+    pod recipe for large models is fsdp + moment_dtype=bfloat16, and
+    shard_opt_state_like maps specs by shape, not dtype (sharding.py:92)."""
+    tc = TrainConfig(batch_size=16, mini_batch_size=2, ctx_len=32, lr=1e-2,
+                     token_budget=16 * 32 * 100.0, seed=0, sharding="fsdp",
+                     moment_dtype="bfloat16")
+    tr = Trainer(MODEL, tc, batch_iter=synth_batches(16, 32, seed=13))
+    mu_leaves = [l for l in jax.tree.leaves(tr.opt_state[1].mu)
+                 if l.shape == tr.params["wte"].shape]
+    assert mu_leaves[0].dtype == jnp.bfloat16
+    assert not mu_leaves[0].sharding.is_fully_replicated
+
+    losses_f = [float(tr.train_step_once()["loss"]) for _ in range(6)]
+
+    tc_r = tc.replace(sharding="replicated")
+    tr_r = Trainer(MODEL, tc_r, batch_iter=synth_batches(16, 32, seed=13))
+    losses_r = [float(tr_r.train_step_once()["loss"]) for _ in range(6)]
+    # elementwise adam on bf16 moments is deterministic; only the grad
+    # reduction order differs between the two meshes
+    np.testing.assert_allclose(losses_f, losses_r, rtol=1e-4, atol=1e-5)
+    assert losses_f[-1] < losses_f[0]
