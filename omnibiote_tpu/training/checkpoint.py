@@ -199,14 +199,24 @@ def _load_all_shards(dirpath: str, name: str) -> Dict[str, Dict]:
     return by_leaf
 
 
-def _assemble_leaf(shards: Dict, shape, dtype) -> np.ndarray:
-    """Fill a global ndarray from {index: shard} pieces."""
+def _assemble_leaf(shards: Dict, shape, dtype, leaf_key="") -> np.ndarray:
+    """Fill a global ndarray from {index: shard} pieces. The slices of a
+    GSPMD-sharded leaf (replica 0 only) partition it exactly, so anything
+    other than 100% coverage means a per-process shard file is missing or
+    stale — raise rather than silently restore zero-filled regions."""
     if not shape:
         (arr,) = shards.values()
         return np.asarray(arr, dtype=dtype).reshape(())
     out = np.zeros(shape, dtype=dtype)
+    filled = 0
     for index, arr in shards.items():
         out[index if index else tuple(slice(0, d) for d in shape)] = arr
+        filled += int(arr.size)
+    total = int(np.prod(shape))
+    if filled != total:
+        raise ValueError(
+            f"shard coverage mismatch for {leaf_key!r}: {filled} of {total} "
+            f"elements present — a .shard*.npz file is missing or duplicated")
     return out
 
 
@@ -220,9 +230,9 @@ def restore_tree_sharded(dirpath: str, name: str, template):
     def rebuild(leaf_key, leaf):
         shards = by_leaf[leaf_key]
         if not hasattr(leaf, "dtype"):
-            arr = _assemble_leaf(shards, (), np.asarray(leaf).dtype)
+            arr = _assemble_leaf(shards, (), np.asarray(leaf).dtype, leaf_key)
             return type(leaf)(arr)
-        host = _assemble_leaf(shards, leaf.shape, leaf.dtype)
+        host = _assemble_leaf(shards, leaf.shape, leaf.dtype, leaf_key)
         sharding = getattr(leaf, "sharding", None)
         if sharding is None or not hasattr(leaf, "addressable_shards"):
             return host

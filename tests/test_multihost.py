@@ -248,3 +248,36 @@ def test_two_process_fsdp_train_save_restore(tmp_path):
     cont = [float(tr.train_step_once()["loss"]) for _ in range(2)]
     want = [float(x) for x in losses(outs_b[0])]
     np.testing.assert_allclose(cont, want, rtol=1e-6)
+
+
+def test_shard_restore_rejects_missing_slice(tmp_path):
+    """A lost/stale .shard*.npz must fail the restore loudly: zero-filled
+    parameter regions would otherwise train on silently (checkpoint.py
+    _assemble_leaf coverage check)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from omnibiote_tpu.parallel.mesh import make_mesh
+    from omnibiote_tpu.training.checkpoint import (
+        _save_shards, restore_tree_sharded)
+
+    mesh = make_mesh((8,), axis_names=("data",))
+    w = jax.device_put(jnp.arange(64.0).reshape(8, 8),
+                       NamedSharding(mesh, P("data", None)))
+    tree = {"w": w}
+    _save_shards(str(tmp_path / "params"), tree)
+
+    shard_file = str(tmp_path / "params.shard0.npz")
+    with np.load(shard_file) as z:
+        kept = {k: z[k] for k in list(z.files)[:-1]}  # drop one slice
+    np.savez(shard_file, **kept)
+
+    with pytest.raises((ValueError, KeyError), match="coverage|w"):
+        restore_tree_sharded(str(tmp_path), "params", tree)
+
+    # untampered file restores exactly
+    _save_shards(str(tmp_path / "ok"), tree)
+    back = restore_tree_sharded(str(tmp_path), "ok", tree)
+    np.testing.assert_array_equal(np.asarray(back["w"]), np.asarray(w))
