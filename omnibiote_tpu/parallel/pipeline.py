@@ -136,9 +136,9 @@ def pp_mlm_loss(
         # local batch rows under dp x pp: B_l = B // n_data
         B_l = x0.shape[1]
 
-        def run_local(x, seg, mb_idx):
+        def run_local(blocks, x, seg, mb_idx):
             for i in range(Ls):
-                bp = jax.tree.map(lambda a: a[i], blocks_local)
+                bp = jax.tree.map(lambda a: a[i], blocks)
                 if deterministic:
                     rngs = {}
                 else:
@@ -159,6 +159,19 @@ def pp_mlm_loss(
                 x = _block(cfg, x, bp, cos, sin, seg, rngs, deterministic)
             return x
 
+        if cfg.checkpoint_freq > 0:
+            # Honor the model's remat flag on the pipeline path too: the
+            # scan's autodiff otherwise stores every layer's activations for
+            # all M + S - 1 ticks per stage; remat keeps only each tick's
+            # block INPUT and recomputes the Ls-layer slice in the backward
+            # (~Ls x smaller residuals — same policy semantics as the dp
+            # forward, models/omnibiota.py:316-319). Dropout keys re-derive
+            # from lk_data deterministically, so recompute is bit-identical.
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if cfg.remat_policy == "dots" else None)
+            run_local = jax.checkpoint(
+                run_local, prevent_cse=False, policy=policy)
+
         def tick(buf, t):
             mb = jnp.clip(t - s_idx, 0, M - 1)
             x_first = jax.lax.dynamic_index_in_dim(x0, jnp.clip(t, 0, M - 1),
@@ -166,7 +179,7 @@ def pp_mlm_loss(
             x_in = jnp.where(s_idx == 0, x_first, buf)
             seg = jax.lax.dynamic_index_in_dim(segments, mb, 0,
                                                keepdims=False)
-            h = run_local(x_in, seg, mb)
+            h = run_local(blocks_local, x_in, seg, mb)
             perm = [(i, (i + 1) % S) for i in range(S)]
             buf_next = jax.lax.ppermute(h, STAGE_AXIS, perm)
             return buf_next, h

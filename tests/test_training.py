@@ -377,6 +377,48 @@ def test_pp_with_dropout_matches_dp_stream():
     np.testing.assert_allclose(losses_pp, losses_r, rtol=1e-4, atol=1e-5)
 
 
+def test_pp_remat_matches_and_shrinks_memory():
+    """cfg.checkpoint_freq on the pipeline path: bit-compatible losses and
+    gradients (remat recompute is the same math; dropout keys re-derive
+    from lk_data deterministically) with a measurably smaller temp
+    footprint for the compiled step (XLA memory_analysis) — the backward
+    otherwise stores every layer's activations for all M+S-1 ticks."""
+    from omnibiote_tpu.parallel.pipeline import pp_mlm_loss, shard_params_pp
+    from omnibiote_tpu.models.omnibiota import init_params
+
+    base = MODEL.replace(n_layer=4, dropout=0.1)
+    mesh = make_mesh((4,), axis_names=("stage",),
+                     devices=jax.devices()[:4])
+    M, B, T = 4, 2, 32
+    batch = next(synth_batches(M * B, T, seed=41))
+    toks = jnp.asarray(batch["tokens"]).reshape(M, B, T)
+    segs = jnp.asarray(batch["segments"]).reshape(M, B, T)
+    w = jnp.ones((M,), jnp.float32)
+    rng = jax.random.PRNGKey(9)
+
+    temps, losses, grads = {}, {}, {}
+    for freq in (0, 1):
+        cfg = base.replace(checkpoint_freq=freq)
+        params, _ = shard_params_pp(
+            init_params(jax.random.PRNGKey(1), cfg), mesh)
+
+        def loss_fn(p, cfg=cfg):
+            return pp_mlm_loss(p, cfg, toks, segs, w, rng, mesh)[0]
+
+        compiled = jax.jit(jax.value_and_grad(loss_fn)).lower(
+            params).compile()
+        temps[freq] = compiled.memory_analysis().temp_size_in_bytes
+        loss, grad = compiled(params)
+        losses[freq] = float(loss)
+        grads[freq] = jax.device_get(grad)
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-6)
+    assert temps[1] < temps[0], (
+        f"remat did not shrink temp memory: {temps[1]} vs {temps[0]}")
+
+
 def test_async_checkpoint_snapshot_semantics(tmp_path):
     """Async save snapshots device state BEFORE further steps: training 3
     more steps while the writer thread runs must not change what lands on
