@@ -118,3 +118,110 @@ class Encoder:
             out = fn(self.params, jnp.asarray(x), segments, lengths)
             outs.append(np.asarray(out, np.float32))
         return np.concatenate(outs) if outs else np.zeros((0, self.cfg.n_embd))
+
+
+def iter_fasta(path):
+    """Yield (record_id, sequence) from a FASTA file (.gz transparent).
+
+    Minimal generic reader for the encode CLI: id is the first
+    whitespace-delimited token after '>', sequence lines are concatenated
+    verbatim (no case folding — the tokenizers are case-sensitive). The
+    corpus-scale incremental parser lives in preprocessing/uniprot.py;
+    this one additionally keeps record ids, which the npz output maps
+    row-for-row to embeddings."""
+    import gzip
+
+    opener = gzip.open if str(path).endswith(".gz") else open
+    rid, parts = None, []
+    with opener(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if rid is not None:
+                    yield rid, "".join(parts)
+                header = line[1:].strip()
+                rid = header.split()[0] if header else ""
+                parts = []
+            elif line and rid is not None:
+                parts.append(line)
+    if rid is not None:
+        yield rid, "".join(parts)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    """FASTA -> pooled-embeddings CLI (an extension: the reference README
+    shows hand-written tokenize/encode snippets only, README.md:26-43).
+
+        python -m omnibiote_tpu.api \
+            --checkpoint checkpoints/omnibiota --fasta seqs.fa.gz \
+            --tag protein --out embeddings.npz
+
+    Writes an .npz with `ids` (N,) and `embeddings` (N, n_embd) float32,
+    row-aligned with the FASTA record order."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m omnibiote_tpu.api",
+        description="Encode FASTA sequences to pooled embeddings (.npz).")
+    ap.add_argument("--checkpoint", required=True,
+                    help="checkpoint directory (meta.json + npz)")
+    ap.add_argument("--fasta", required=True, help="input FASTA (.gz ok)")
+    ap.add_argument("--out", required=True, help="output .npz path")
+    ap.add_argument("--method", default="mean",
+                    choices=["mean", "first", "last", "max"])
+    ap.add_argument("--tag", default="none",
+                    choices=["protein", "dna", "none"],
+                    help="modality tag prepended to every sequence "
+                         "(<protein>/<DNA>), matching pretraining corpus "
+                         "tagging")
+    ap.add_argument("--tokenizer", default="mixed",
+                    help="reference tokenizer name (mixed/protein/"
+                         "nucleotide) when --tokenizer-path is not given")
+    ap.add_argument("--tokenizer-path", default=None,
+                    help="explicit .model file (e.g. a CLI-trained vocab)")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--bucket", type=int, default=128,
+                    help="pad lengths up to a multiple of this (fewer "
+                         "compiled shapes)")
+    ap.add_argument("--chunk", type=int, default=4096,
+                    help="sequences held in memory per encode call")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 serving weights (ops/quant.py)")
+    ap.add_argument("--leaky-padding", action="store_true",
+                    help="bit-faithful reference pooling: padding leaks "
+                         "into mean/max statistics (model.py:256-278)")
+    args = ap.parse_args(argv)
+
+    enc = Encoder.from_checkpoint(args.checkpoint, tokenizer=args.tokenizer,
+                                  tokenizer_path=args.tokenizer_path,
+                                  quantize=args.quantize)
+    prefix = {"protein": "<protein>", "dna": "<DNA>", "none": ""}[args.tag]
+
+    ids: List[str] = []
+    chunks: List[np.ndarray] = []
+    buf: List[str] = []
+
+    def flush():
+        if buf:
+            chunks.append(enc.encode_sequences(
+                buf, method=args.method, batch_size=args.batch_size,
+                bucket=args.bucket, mask_padding=not args.leaky_padding))
+            buf.clear()
+
+    for rid, seq in iter_fasta(args.fasta):
+        ids.append(rid)
+        buf.append(prefix + seq)
+        if len(buf) >= args.chunk:
+            flush()
+    flush()
+
+    emb = (np.concatenate(chunks) if chunks
+           else np.zeros((0, enc.cfg.n_embd), np.float32))
+    np.savez(args.out, ids=np.asarray(ids), embeddings=emb)
+    print(f"wrote {emb.shape[0]} embeddings (dim {emb.shape[1]}) "
+          f"to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

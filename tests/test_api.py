@@ -56,3 +56,34 @@ def test_encoder_quantized_serving(ckpt):
     an = a / np.linalg.norm(a, axis=-1, keepdims=True)
     bn = b / np.linalg.norm(b, axis=-1, keepdims=True)
     assert float(np.min(np.sum(an * bn, -1))) > 0.99
+
+
+def test_encode_cli_fasta_to_npz(ckpt, tmp_path):
+    """python -m omnibiote_tpu.api: FASTA (.gz, multi-line records) ->
+    npz with ids row-aligned to embeddings, matching a direct
+    encode_sequences call with the same tag/method."""
+    import gzip
+    from omnibiote_tpu.api import Encoder, main
+
+    fa = tmp_path / "seqs.fa.gz"
+    with gzip.open(fa, "wt") as f:
+        f.write(">p1 some description\nMKVLAA\nGIWQRST\n")
+        f.write(">p2\nACDEFGHIKLMNPQRSTVWY\n")
+        f.write(">p3 trailing-record-no-newline\nMKV")
+    out = tmp_path / "emb.npz"
+    rc = main(["--checkpoint", ckpt, "--fasta", str(fa),
+               "--out", str(out), "--tag", "protein", "--method", "mean",
+               "--batch-size", "2", "--chunk", "2"])
+    assert rc == 0
+
+    z = np.load(out)
+    assert list(z["ids"]) == ["p1", "p2", "p3"]
+    assert z["embeddings"].shape == (3, 32)
+    assert z["embeddings"].dtype == np.float32
+
+    enc = Encoder.from_checkpoint(ckpt, tokenizer="mixed")
+    direct = enc.encode_sequences(
+        ["<protein>MKVLAAGIWQRST", "<protein>ACDEFGHIKLMNPQRSTVWY",
+         "<protein>MKV"], method="mean", batch_size=2)
+    np.testing.assert_allclose(z["embeddings"], direct, rtol=1e-5,
+                               atol=1e-6)
