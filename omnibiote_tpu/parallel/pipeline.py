@@ -49,19 +49,43 @@ from .mesh import DATA_AXIS
 STAGE_AXIS = "stage"
 
 
-def pp_param_pspecs(params):
+def pp_param_pspecs(params, fsdp_shards: int = 1):
     """blocks: stacked leading (layer) dim sharded over the stage axis;
-    everything else replicated."""
+    everything else replicated.
+
+    fsdp_shards > 1 (sharding='fsdp+pp'): additionally shard every leaf's
+    largest remaining divisible dim over the 'data' axis — ZeRO-3 composed
+    with the pipeline, the standard pod recipe (stages across one mesh
+    axis, each stage's weights+moments spread over the other). No kernel
+    or schedule change is needed: pp_mlm_loss's shard_map in_specs demand
+    the stage-only layout, so jit inserts one all-gather over 'data' on
+    the bf16 compute copy per step, and its autodiff transpose is exactly
+    the ZeRO reduce-scatter of the grads back to the owning shard."""
+    from .sharding import _fsdp_dim
+
     def spec(path, leaf):
         names = [str(p.key) for p in path if hasattr(p, "key")]
         if "blocks" in names:
-            return P(STAGE_AXIS, *([None] * (leaf.ndim - 1)))
+            dims = [STAGE_AXIS] + [None] * (leaf.ndim - 1)
+            if fsdp_shards > 1:
+                d = _fsdp_dim(leaf.shape[1:], fsdp_shards)
+                if d is not None:
+                    dims[1 + d] = DATA_AXIS
+            return P(*dims)
+        if fsdp_shards > 1:
+            d = _fsdp_dim(leaf.shape, fsdp_shards)
+            if d is not None:
+                dims = [None] * leaf.ndim
+                dims[d] = DATA_AXIS
+                return P(*dims)
         return P()
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def shard_params_pp(params, mesh: Mesh):
-    specs = pp_param_pspecs(params)
+def shard_params_pp(params, mesh: Mesh, fsdp: bool = False):
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    specs = pp_param_pspecs(
+        params, fsdp_shards=axes.get(DATA_AXIS, 1) if fsdp else 1)
     placed = jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params, specs)

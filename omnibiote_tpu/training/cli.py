@@ -75,7 +75,7 @@ def build_argparser() -> argparse.ArgumentParser:
                         "pods (coordinator from env, replacing torchrun)")
     p.add_argument("--sharding", type=str, default=None,
                    choices=["replicated", "fsdp", "tp", "sp", "pp",
-                            "fsdp+tp"],
+                            "fsdp+tp", "fsdp+pp"],
                    help="parameter/activation sharding mode (default "
                         "replicated; --FSDP implies fsdp). 'sp' shards the "
                         "sequence (ring attention); 'tp' needs a 2D "

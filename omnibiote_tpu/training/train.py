@@ -251,15 +251,17 @@ class Trainer:
         tc = train_cfg
         if mesh is not None:
             self.mesh = mesh
-        elif tc.sharding == "pp":
+        elif tc.sharding in ("pp", "fsdp+pp"):
             import jax as _jax
             if tc.mesh_shape is not None and len(tc.mesh_shape) == 2:
-                # dp x pp: (data, stage)
+                # dp x pp (and fsdp+pp: ZeRO over the same data axis)
                 n = int(np.prod(tc.mesh_shape))
                 self.mesh = make_mesh(tuple(tc.mesh_shape),
                                       axis_names=("data", "stage"),
                                       devices=_jax.devices()[:n])
             else:
+                assert tc.sharding == "pp", (
+                    "fsdp+pp needs a 2D --mesh_shape (data, stage)")
                 n = (tc.mesh_shape[0] if tc.mesh_shape is not None
                      else len(_jax.devices()))
                 self.mesh = make_mesh((n,), axis_names=("stage",),
@@ -313,12 +315,13 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
 
         self._param_specs = None
-        if tc.sharding == "pp":
+        if tc.sharding in ("pp", "fsdp+pp"):
             # pipeline: stacked layer dim sharded over the stage axis
+            # (fsdp+pp: plus ZeRO-3 over the data axis, pipeline.py)
             from ..parallel.pipeline import shard_params_pp
             from ..parallel.sharding import shard_opt_state_like
             self.params, self._param_specs = shard_params_pp(
-                self.params, self.mesh)
+                self.params, self.mesh, fsdp=tc.sharding == "fsdp+pp")
             self.opt_state = shard_opt_state_like(
                 self.opt_state, self.params, self._param_specs, self.mesh)
         elif tc.sharding != "replicated":
@@ -360,7 +363,7 @@ class Trainer:
                                  and mesh_axes.get("model", 1) > 1
                                  and model_cfg.n_head % mesh_axes["model"] == 0)
                    else None)
-        if tc.sharding == "pp":
+        if tc.sharding in ("pp", "fsdp+pp"):
             step_fn = make_pp_train_step(model_cfg, tc, self.optimizer,
                                          self.mesh)
         else:
@@ -416,7 +419,8 @@ class Trainer:
         weights = np.zeros((A,), np.float32)
         weights[:active] = 1.0
         batch = {"tokens": tokens, "segments": segments}
-        if self.train_cfg.sharding == "pp" and self.n_data == 1:
+        if (self.train_cfg.sharding in ("pp", "fsdp+pp")
+                and self.n_data == 1):
             # pure pipeline: microbatches are consumed tick-by-tick by
             # every stage — the batch is replicated over the stage axis
             from ..parallel.mesh import replicated
