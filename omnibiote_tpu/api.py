@@ -30,8 +30,14 @@ class Encoder:
 
     def __init__(self, params, cfg: OmniBioTAConfig, sp,
                  banned_tokens: Sequence[int] = (), quantize: bool = False,
-                 quantize_attention: bool = False):
-        """quantize=True converts the weights to the int8 serving format
+                 quantize_attention: bool = False, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis for
+        multi-chip serving — each encode batch's rows are sharded over the
+        axis (weights replicated), so throughput scales with chips while
+        results stay identical to single-device encode (tests/test_api.py).
+        Short final chunks are padded up to the shard count and trimmed.
+
+        quantize=True converts the weights to the int8 serving format
         (ops/quant.py): ~1.2x encode throughput on a v5e at cosine >=0.999
         vs the bf16 path.
 
@@ -46,6 +52,14 @@ class Encoder:
             params = quantize_for_inference(params, cfg)
             cfg = cfg.replace(qkv_prepermuted=True,
                               attn_int8=quantize_attention)
+        self.mesh = mesh
+        self.n_data = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            self.n_data = int(axes.get("data", 1))
+            self._row_sharding = NamedSharding(mesh, P("data"))
+            params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
         self.cfg = cfg.replace(dropout=0.0)
         self.sp = sp
@@ -55,7 +69,7 @@ class Encoder:
     @classmethod
     def from_checkpoint(cls, path: str, tokenizer: str = "mixed",
                         tokenizer_path: Optional[str] = None,
-                        quantize: bool = False):
+                        quantize: bool = False, mesh=None):
         from .tokenizer import SentencePieceProcessor, load_reference
         from .training.checkpoint import load_model_checkpoint
 
@@ -63,7 +77,8 @@ class Encoder:
         sp = (SentencePieceProcessor(tokenizer_path) if tokenizer_path
               else load_reference(tokenizer))
         banned = [BANNED_TOKEN[tokenizer]] if tokenizer in BANNED_TOKEN else []
-        return cls(params, cfg, sp, banned, quantize=quantize)
+        return cls(params, cfg, sp, banned, quantize=quantize,
+                   mesh=mesh)
 
     def _encode_fn(self, method: str, masked: bool):
         key = (method, masked)
@@ -112,11 +127,29 @@ class Encoder:
         for i in range(0, len(toks), batch_size):
             chunk = toks[i:i + batch_size]
             x, seg = pad_batch(chunk, bucket, self.cfg.block_size)
-            lengths = jnp.asarray([min(len(t), x.shape[1]) for t in chunk],
-                                  jnp.int32)
-            segments = jnp.asarray(seg) if mask_padding else None
-            out = fn(self.params, jnp.asarray(x), segments, lengths)
-            outs.append(np.asarray(out, np.float32))
+            lengths = np.asarray([min(len(t), x.shape[1]) for t in chunk],
+                                 np.int32)
+            n_rows = len(chunk)
+            if self.n_data > 1:
+                # multi-chip serving: rows shard over the 'data' axis; a
+                # short final chunk is padded by repeating row 0 (trimmed
+                # below) so every shard gets equal rows
+                pad = -n_rows % self.n_data
+                if pad:
+                    x = np.concatenate([x, np.repeat(x[:1], pad, 0)])
+                    seg = np.concatenate([seg, np.repeat(seg[:1], pad, 0)])
+                    lengths = np.concatenate(
+                        [lengths, np.repeat(lengths[:1], pad)])
+                x = jax.device_put(x, self._row_sharding)
+                segments = (jax.device_put(seg, self._row_sharding)
+                            if mask_padding else None)
+                lengths = jax.device_put(lengths, self._row_sharding)
+            else:
+                x = jnp.asarray(x)
+                segments = jnp.asarray(seg) if mask_padding else None
+                lengths = jnp.asarray(lengths)
+            out = fn(self.params, x, segments, lengths)
+            outs.append(np.asarray(out, np.float32)[:n_rows])
         return np.concatenate(outs) if outs else np.zeros((0, self.cfg.n_embd))
 
 
@@ -187,14 +220,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     help="sequences held in memory per encode call")
     ap.add_argument("--quantize", action="store_true",
                     help="int8 serving weights (ops/quant.py)")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard each encode batch's rows over all devices "
+                         "(a 'data' mesh axis); results identical to "
+                         "single-device")
     ap.add_argument("--leaky-padding", action="store_true",
                     help="bit-faithful reference pooling: padding leaks "
                          "into mean/max statistics (model.py:256-278)")
     args = ap.parse_args(argv)
 
+    mesh = None
+    if args.data_parallel:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh()
     enc = Encoder.from_checkpoint(args.checkpoint, tokenizer=args.tokenizer,
                                   tokenizer_path=args.tokenizer_path,
-                                  quantize=args.quantize)
+                                  quantize=args.quantize, mesh=mesh)
     prefix = {"protein": "<protein>", "dna": "<DNA>", "none": ""}[args.tag]
 
     ids: List[str] = []

@@ -87,3 +87,25 @@ def test_encode_cli_fasta_to_npz(ckpt, tmp_path):
          "<protein>MKV"], method="mean", batch_size=2)
     np.testing.assert_allclose(z["embeddings"], direct, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_encoder_data_parallel_mesh_matches_single_device(ckpt):
+    """Encoder(mesh=...): rows shard over the 'data' axis; embeddings are
+    identical to the single-device path, including a final short chunk
+    that needs row padding up to the shard count."""
+    import jax
+    from omnibiote_tpu.api import Encoder
+    from omnibiote_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4,), axis_names=("data",), devices=jax.devices()[:4])
+    enc_dp = Encoder.from_checkpoint(ckpt, tokenizer="mixed", mesh=mesh)
+    enc = Encoder.from_checkpoint(ckpt, tokenizer="mixed")
+    assert enc_dp.n_data == 4
+
+    seqs = ["<protein>MKVLAAGIWQRST", "<DNA>" + "ACGT" * 30,
+            "<protein>ACDEFGHIK", "<DNA>ACGTACGT",
+            "<protein>MKV"]  # 5 rows, batch 4 -> final chunk of 1 (pad 3)
+    for method in ("mean", "max"):
+        a = enc.encode_sequences(seqs, method=method, batch_size=4)
+        b = enc_dp.encode_sequences(seqs, method=method, batch_size=4)
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
