@@ -150,11 +150,22 @@ def _gelu_fast(x):
     ~3x fewer VPU ops, and a transcendental-free autodiff backward (the exact
     erf backward needs exp(-x^2/2)). Selected by cfg.gelu (config.py)."""
     xf = x.astype(jnp.float32)
-    u = xf * xf
+    # Horner on the CLAMPED input: evaluating the degree-14 polynomial on
+    # raw xf overflows to inf past |x| ~ 3e3, and even though jnp.where
+    # discards that branch's VALUE, its autodiff backward multiplies the
+    # branch gradient by 0 — 0 * inf = NaN — so one extreme pre-GELU
+    # activation would poison the whole gradient tree. Inside the cut
+    # region xc == xf, so values and gradients there are unchanged. The
+    # clamp is where-based, not jnp.clip: clip's max/min backward splits
+    # the gradient 0.5/0.5 at an exact |x| == CUT tie, which would halve
+    # the derivative at the seam.
+    xc = jnp.where(xf > _GELU_CUT, _GELU_CUT,
+                   jnp.where(xf < -_GELU_CUT, -_GELU_CUT, xf))
+    u = xc * xc
     p = jnp.float32(_GELU_POLY[-1])
     for c in _GELU_POLY[-2::-1]:
         p = p * u + jnp.float32(c)
-    y = xf * (0.5 + xf * p)
+    y = xc * (0.5 + xc * p)
     y = jnp.where(xf > _GELU_CUT, xf, y)
     y = jnp.where(xf < -_GELU_CUT, 0.0, y)
     return y.astype(x.dtype)

@@ -277,9 +277,20 @@ def save_checkpoint(trainer, final: bool = False,
     name = tc.save_name if final else f"{tc.save_name}_{tokens}"
     path = os.path.join(tc.save_dir, name)
     tmp = path + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
-
     multiproc = jax.process_count() > 1
+    # A crashed earlier save can leave stale files in tmp — possibly from a
+    # different save MODE (a single-process params.npz next to fresh pod
+    # shard files would silently win at restore; stale shards from another
+    # process count would fail shard-coverage validation). Clear before
+    # writing. Every process clears (covers per-host local disks, and
+    # concurrent rmtree of a shared dir is harmless with ignore_errors),
+    # then a barrier keeps any writer from starting while a peer is still
+    # clearing.
+    shutil.rmtree(tmp, ignore_errors=True)
+    if multiproc:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("obt_ckpt_tmp_clear")
+    os.makedirs(tmp, exist_ok=True)
     if multiproc:
         return _save_checkpoint_multiproc(trainer, path, tmp, final)
 
@@ -340,7 +351,6 @@ def _save_checkpoint_multiproc(trainer, path: str, tmp: str,
     import jax
     from jax.experimental import multihost_utils
 
-    tc = trainer.train_cfg
     _save_shards(os.path.join(tmp, "params"), trainer.params)
     _save_shards(os.path.join(tmp, "opt_state"),
                  _optstate_to_tree(trainer.opt_state))

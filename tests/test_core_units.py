@@ -321,6 +321,17 @@ def test_fast_gelu_matches_erf_gelu():
     g_fast = np.asarray(jax.vmap(jax.grad(lambda v: _gelu_fast(v)))(x))
     assert np.abs(g_fast - g_exact).max() < 3e-3
 
+    # Extreme activations: the polynomial must run on the CLAMPED input —
+    # Horner on raw x overflows to inf past |x| ~ 3e3 and jnp.where's
+    # backward turns the discarded branch into 0 * inf = NaN, which one
+    # outlier activation would propagate through the whole gradient tree
+    # (omnibiota.py _gelu_fast).
+    xe = jnp.asarray([-1e20, -1e4, -3e3, 3e3, 1e4, 1e20], jnp.float32)
+    ve = np.asarray(_gelu_fast(xe))
+    ge = np.asarray(jax.vmap(jax.grad(lambda v: _gelu_fast(v)))(xe))
+    assert np.isfinite(ve).all() and np.isfinite(ge).all(), (ve, ge)
+    np.testing.assert_array_equal(ge, [0.0, 0.0, 0.0, 1.0, 1.0, 1.0])
+
     # bf16: every output is within 2 ulp of the exact-erf bf16 output (the
     # 1.3e-4 abs error can flip the last bit near rounding boundaries, but
     # never moves more than a grid step; 2e-4 abs floor covers the tail

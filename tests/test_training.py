@@ -155,6 +155,31 @@ def test_checkpoint_resume_exact(trained, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_clears_stale_tmp(trained, tmp_path):
+    """A crashed earlier save's leftovers in <name>.tmp must not be renamed
+    into the new checkpoint: a stale params.npz would silently shadow fresh
+    pod shard files at restore (checkpoint.py save_checkpoint)."""
+    trainer, _ = trained
+    trainer.train_cfg = trainer.train_cfg.replace(save_dir=str(tmp_path))
+    name = f"{trainer.train_cfg.save_name}_{int(trainer.trained_tokens)}"
+    stale_tmp = tmp_path / (name + ".tmp")
+    stale_tmp.mkdir()
+    (stale_tmp / "params.shard0of2.npz").write_bytes(b"stale shard")
+    (stale_tmp / "junk.txt").write_text("crashed run leftover")
+
+    path = trainer.save_checkpoint()
+    names = sorted(os.listdir(path))
+    assert "junk.txt" not in names and "params.shard0of2.npz" not in names
+    assert {"params.npz", "opt_state.npz", "meta.json"} <= set(names)
+
+    t2 = Trainer(MODEL, trainer.train_cfg,
+                 batch_iter=synth_batches(32, 32, seed=99))
+    t2.restore_checkpoint(path)
+    for a, b in zip(jax.tree.leaves(jax.device_get(trainer.params)),
+                    jax.tree.leaves(jax.device_get(t2.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_eval_step(trained):
     trainer, _ = trained
     batch = next(synth_batches(16, 32, seed=5))
