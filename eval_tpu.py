@@ -207,10 +207,31 @@ def main():
             "wall_s": round(time.time() - t0, 1), "attn_impl": "flash",
         })
 
-    tape_dir, contact_dir = _make_tape_dirs(tmp)
+    # Fixture builders are MEMOIZED and called inside the owning sections,
+    # so a dataset problem (e.g. a missing/corrupt reference ProNAB json)
+    # is recorded as that family's failure instead of aborting the whole
+    # script before any family runs / any flush happens (r4 review).
+    _fixtures = {}
+
+    def _tape_fixture():
+        if "tape" not in _fixtures:
+            _fixtures["tape"] = _make_tape_dirs(tmp)
+        return _fixtures["tape"]
+
+    def _pronab_fixture():
+        if "pronab" not in _fixtures:
+            sub_json, sub_ds = _subset_pronab(
+                REAL_PRONAB, os.path.join(tmp, "pronab_subset.json"))
+            real_peps = sorted({v["Sequence"] for v in sub_ds.values()
+                                if len(v["Sequence"]) < 200})[:6]
+            mut_jsonl = _make_mutation_jsonl(
+                os.path.join(tmp, "mut.jsonl"), real_peps)
+            _fixtures["pronab"] = (sub_json, mut_jsonl)
+        return _fixtures["pronab"]
 
     def tape_section():
         from omnibiote_tpu.evals.tape import run_tape
+        tape_dir, _ = _tape_fixture()
         t0 = time.time()
         r = run_tape(sp_dir=SP, model_dir=ckpt, tape_dir=tape_dir,
                      output_suffix="tpu", tasks=["fluorescence"],
@@ -223,6 +244,7 @@ def main():
 
     def contact_section():
         from omnibiote_tpu.evals.contact import run_contact_eval
+        _, contact_dir = _tape_fixture()
         t0 = time.time()
         r = run_contact_eval(
             SP, ckpt, banned_token=65533, data_dir=contact_dir,
@@ -236,15 +258,9 @@ def main():
             "wall_s": round(time.time() - t0, 1), "attn_impl": "flash",
         })
 
-    sub_json, sub_ds = _subset_pronab(
-        REAL_PRONAB, os.path.join(tmp, "pronab_subset.json"))
-    real_peps = sorted({v["Sequence"] for v in sub_ds.values()
-                        if len(v["Sequence"]) < 200})[:6]
-    mut_jsonl = _make_mutation_jsonl(
-        os.path.join(tmp, "mut.jsonl"), real_peps)
-
     def pronab_section():
         from omnibiote_tpu.evals.pronab import run_pronab
+        sub_json, mut_jsonl = _pronab_fixture()
         t0 = time.time()
         r = run_pronab(SP, ckpt, "tpu", pronab_json=sub_json,
                        mutation_jsonl=mut_jsonl,
@@ -288,6 +304,7 @@ def main():
 
     def deepnap_section():
         from omnibiote_tpu.evals.deepnap import run_deepnap
+        sub_json, mut_jsonl = _pronab_fixture()
         t0 = time.time()
         r = run_deepnap(sub_json, mut_jsonl, output_suffix="tpu",
                         num_epochs=4, batch_size=64, folds=2,
@@ -317,6 +334,18 @@ def main():
             flush()
     finally:
         os.chdir(cwd)
+
+    # Quality floors on the families whose synthetic tasks reliably
+    # converge: a fine-tune stack that runs but learns nothing (zeroed head
+    # grads, misaligned labels) must fail the smoke, not write a green
+    # artifact (r4 review; the floors match the separable-motif tasks'
+    # historical on-device values of MCC 1.0 / ACC ~0.98).
+    QUALITY_FLOORS = {"GUE": ("MCC", 0.3), "ProteinGLUE SS3": ("ACC", 0.36)}
+    for r in results:
+        for prefix, (metric, floor) in QUALITY_FLOORS.items():
+            if r["task"].startswith(prefix) and r["value"] < floor:
+                failures.append(
+                    f"{r['task']}: {metric} {r['value']} < floor {floor}")
 
     out = flush()
     print(json.dumps(out))

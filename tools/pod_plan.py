@@ -90,13 +90,14 @@ def plan(cfg, *, chips, sharding, mesh, mini, accum, ctx,
     elif sharding == "pp":
         n_dp, n_pp = (mesh if len(mesh or ()) == 2 else (1, chips))
     elif sharding == "fsdp+pp":
+        assert mesh is not None and len(mesh) == 2, (
+            "fsdp+pp needs a 2D --mesh '(dp, pp)' (same as the trainer's "
+            "mesh_shape requirement)")
         n_dp, n_pp = mesh
     assert n_dp * n_tp * n_sp * n_pp == chips, (
         f"mesh {mesh} inconsistent with --chips {chips}")
 
     zero = sharding in ("fsdp", "fsdp+tp", "fsdp+pp")
-    # state divisor: how many ways master/moments/grad-carry are spread
-    state_div = (n_dp if zero else 1) * n_pp * n_tp
     # matrix weights under tp shard over model axis too (approximation:
     # norms/embeddings are a small fraction); pp shards blocks only
     block_frac = p["blocks"] / P
@@ -161,8 +162,9 @@ def plan(cfg, *, chips, sharding, mesh, mini, accum, ctx,
 
     # ---- step FLOPs / compute time ------------------------------------
     from omnibiote_tpu.training.metrics import flops_per_token
-    tokens_step = mini * n_dp * max(n_sp, 1) * accum * T \
-        if sharding != "sp" or n_sp == 1 else mini * n_dp * accum * T
+    # sp shards the T axis of the SAME rows across n_sp chips, so it does
+    # not multiply the tokens processed per step
+    tokens_step = mini * n_dp * accum * T
     fpt = flops_per_token(p["non_embedding"], L, D, T)
     compute_s = tokens_step * fpt / (h["peak"] * chips * util)
     bubble = (n_pp - 1) / (accum + n_pp - 1) if n_pp > 1 else 0.0
