@@ -34,12 +34,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = []
 
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "DEVICE_CHECKS.json")
+
+
+def _flush(partial):
+    """Write the artifact after EVERY check: a relay hang mid-run (plus the
+    queue's external timeout kill) must not lose the checks already done."""
+    out = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "ok": all(r["pass"] for r in RESULTS) and not partial,
+        "partial": partial,
+        "checks": RESULTS,
+    }
+    with open(ARTIFACT, "w") as f:
+        json.dump(out, f, indent=2)
+    return out
+
 
 def record(name, ok, **metrics):
     RESULTS.append({"name": name, "pass": bool(ok),
                     **{k: (round(v, 6) if isinstance(v, float) else v)
                        for k, v in metrics.items()}})
     print(f"{'PASS' if ok else 'FAIL'} {name} {metrics}", flush=True)
+    _flush(partial=True)
 
 
 def guarded(name, fn):
@@ -217,15 +235,9 @@ def main():
 
     guarded("int8_cosine", check_int8_cosine)
 
-    out = {
-        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "device": str(jax.devices()[0].device_kind),
-        "ok": all(r["pass"] for r in RESULTS),
-        "checks": RESULTS,
-    }
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "DEVICE_CHECKS.json")
-    with open(path, "w") as f:
+    out = _flush(partial=False)
+    out["device"] = str(jax.devices()[0].device_kind)
+    with open(ARTIFACT, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"ok": out["ok"], "n": len(RESULTS)}))
     return 0 if out["ok"] else 1
