@@ -88,24 +88,45 @@ def main():
     # one process per context length — two full-size trainers in one
     # process OOM the 16 GB chip
     rows = []
+    failed_required = []
+
+    def flush():
+        # after EVERY row: a relay hang in a later child (or the queue's
+        # external timeout kill) must not lose the rows already measured
+        result = {
+            "metric":
+                "omnibiote-small long-context MLM training (bf16, 1 chip)",
+            "rows": rows,
+        }
+        with open(os.path.join(HERE, "BENCH_LONGCTX.json"), "w") as f:
+            json.dump(result, f, indent=2)
+        return result
+
     for ctx in sorted(CONFIGS):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), str(ctx)],
-            text=True, capture_output=True)
-        if out.returncode != 0:
-            if ctx in BEST_EFFORT:
-                rows.append({"ctx": ctx, "error": out.stderr[-800:]})
-                continue
-            raise RuntimeError(f"ctx={ctx} failed:\n{out.stderr[-2000:]}")
-        row = [l for l in out.stdout.splitlines() if l.startswith("ROW ")]
-        rows.append(json.loads(row[-1][4:]))
-    result = {
-        "metric": "omnibiote-small long-context MLM training (bf16, 1 chip)",
-        "rows": rows,
-    }
-    print(json.dumps(result))
-    with open(os.path.join(HERE, "BENCH_LONGCTX.json"), "w") as f:
-        json.dump(result, f, indent=2)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), str(ctx)],
+                text=True, capture_output=True,
+                timeout=int(os.environ.get("LONGCTX_ROW_TIMEOUT_S", "750")))
+            rc, stdout, stderr = out.returncode, out.stdout, out.stderr
+        except subprocess.TimeoutExpired as e:
+            rc, stdout = 1, ""
+            tail = e.stderr or ""
+            if isinstance(tail, bytes):  # TimeoutExpired may hold bytes
+                tail = tail.decode("utf-8", "replace")
+            stderr = "row timed out (relay hang?): " + tail[-600:]
+        row = [l for l in (stdout or "").splitlines()
+               if l.startswith("ROW ")]
+        if rc != 0 or not row:
+            rows.append({"ctx": ctx, "error": (stderr or "")[-800:]})
+            if ctx not in BEST_EFFORT:
+                failed_required.append(ctx)
+        else:
+            rows.append(json.loads(row[-1][4:]))
+        flush()
+    print(json.dumps(flush()))
+    if failed_required:
+        raise SystemExit(f"required ctx rows failed: {failed_required}")
 
 
 if __name__ == "__main__":
