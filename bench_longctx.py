@@ -107,7 +107,7 @@ def main():
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), str(ctx)],
                 text=True, capture_output=True,
-                timeout=int(os.environ.get("LONGCTX_ROW_TIMEOUT_S", "750")))
+                timeout=int(os.environ.get("LONGCTX_ROW_TIMEOUT_S", "1000")))
             rc, stdout, stderr = out.returncode, out.stdout, out.stderr
         except subprocess.TimeoutExpired as e:
             rc, stdout = 1, ""
