@@ -7,84 +7,46 @@ This test pins every artifact-backed number in README's Results table to the
 JSON it cites, so a doc edit (or a silent artifact regeneration) that
 de-synchronises them fails CI instead of surfacing in review.
 
+The claim spec lives in tools/readme_claims.py, shared with
+tools/sync_readme.py (which rewrites README FROM the artifacts — the TPU
+queue runs it after refreshing an artifact so both land in one commit).
+
 Scope: only claims README attributes to a named artifact file. Probe-backed
 numbers (e.g. the 1.8x flash-vs-XLA ablation, DESIGN.md ladder tables) are
 deliberately out of scope — they are labeled as probe measurements in the
 docs and have no canonical JSON to pin against.
 """
-import json
 import pathlib
 import re
+import sys
 
 import pytest
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT / "tools"))
+from readme_claims import claims  # noqa: E402
+
 README = (ROOT / "README.md").read_text()
 
 
-def _artifact(name):
-    d = json.loads((ROOT / name).read_text())
-    return d.get("parsed", d)
-
-
-def _fmt_thousands(x):
-    return f"{int(round(x)):,}"
-
-
-def _fmt_pct1(frac):
-    return f"{frac * 100:.1f}"
-
-
-def _fmt_k1(x):
-    return f"{x / 1000:.1f}k"
-
-
-def _claims():
-    r03 = _artifact("BENCH_r03.json")
-    r02 = _artifact("BENCH_r02.json")
-    r01 = _artifact("BENCH_r01.json")
-    prod = _artifact("BENCH_PROD.json")
-    lctx = {row["ctx"]: row for row in _artifact("BENCH_LONGCTX.json")["rows"]}
-
-    # (label, regex with ONE capture group, expected string)
-    yield ("headline tokens/sec (BENCH_r03)",
-           r"\| \*\*([\d,]+) tokens/sec/chip\*\* \(BENCH_r03\.json\)",
-           _fmt_thousands(r03["value"]))
-    yield ("headline MFU (BENCH_r03)",
-           r"formula vs chip peak\) \| \*\*([\d.]+)%\*\*",
-           _fmt_pct1(r03["detail"]["mfu"]))
-    yield ("round-1 MFU (BENCH_r01)",
-           r"round 1: ([\d.]+)%", _fmt_pct1(r01["detail"]["mfu"]))
-    yield ("round-2 MFU (BENCH_r02)",
-           r"round 2: ([\d.]+)%", _fmt_pct1(r02["detail"]["mfu"]))
-    yield ("production tokens/sec (BENCH_PROD)",
-           r"\| ([\d,]+) tok/s \([\d.]+% MFU, BENCH_PROD\.json\)",
-           _fmt_thousands(prod["value"]))
-    yield ("production MFU (BENCH_PROD)",
-           r"\| [\d,]+ tok/s \(([\d.]+)% MFU, BENCH_PROD\.json\)",
-           _fmt_pct1(prod["detail"]["mfu"]))
-    for ctx in (2048, 4096, 8192):
-        row = lctx[ctx]
-        yield (f"ctx-{ctx} tokens/sec (BENCH_LONGCTX)",
-               rf"ctx {ctx}: ([\d.]+k)(?: tok/s)? \(",
-               _fmt_k1(row["tokens_per_sec_chip"]))
-        yield (f"ctx-{ctx} MFU (BENCH_LONGCTX)",
-               rf"ctx {ctx}: [\d.]+k(?: tok/s)? \(\*\*([\d.]+)%\*\*",
-               _fmt_pct1(row["mfu"]))
-    yield ("encode bf16 seqs/sec (BENCH_r03 detail)",
-           r"\| ([\d.]+) seqs/sec/chip \(bf16\)",
-           f"{r03['detail']['encode_seqs_per_sec_ctx1024']:g}")
-    yield ("encode int8 seqs/sec (BENCH_r03 detail)",
-           r"\*\*([\d.]+)\*\* with int8 projections",
-           f"{r03['detail']['encode_seqs_per_sec_ctx1024_int8']:g}")
-
-
 @pytest.mark.parametrize("label,pattern,expected",
-                         list(_claims()),
-                         ids=[c[0] for c in _claims()])
+                         list(claims()),
+                         ids=[c[0] for c in claims()])
 def test_readme_quotes_artifact(label, pattern, expected):
     m = re.search(pattern, README)
     assert m, f"README claim not found for {label} (pattern: {pattern})"
     assert m.group(1) == expected, (
         f"{label}: README says {m.group(1)!r} but the artifact says "
-        f"{expected!r} — quote the checked-in JSON verbatim")
+        f"{expected!r} — quote the checked-in JSON verbatim"
+    )
+
+
+def test_sync_readme_is_idempotent_on_green_docs(tmp_path):
+    """tools/sync_readme.py run on a matching README changes nothing and
+    finds every anchor (guards the tool against regex drift)."""
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "sync_readme.py"), "--check"],
+        text=True, capture_output=True)
+    assert out.returncode == 0, out.stderr
+    assert "0 updated, 0 missing" in out.stdout, out.stdout
