@@ -91,6 +91,9 @@ jax.config.update("jax_cpu_collectives_implementation", "gloo")
 jax.distributed.initialize(coordinator_address=sys.argv[2],
                            num_processes=2, process_id=int(sys.argv[1]))
 phase, ckdir = sys.argv[3], sys.argv[4]
+sharding = sys.argv[5] if len(sys.argv) > 5 else "fsdp"
+mesh_shape = (tuple(int(x) for x in sys.argv[6].split("x"))
+              if len(sys.argv) > 6 and sys.argv[6] else None)
 from omnibiote_tpu import OmniBioTAConfig, TrainConfig, EOS_TOKEN
 from omnibiote_tpu.training.train import Trainer
 from omnibiote_tpu.ops.segments import segment_ids_np
@@ -98,10 +101,11 @@ from omnibiote_tpu.ops.segments import segment_ids_np
 MODEL = OmniBioTAConfig(n_layer=2, n_head=2, n_embd=32, vocab_size=64,
                         block_size=32, dropout=0.0, attn_impl="xla",
                         compute_dtype="float32", mup_base_n_embd=16)
-# fsdp over the full 8-device (2-process) data axis; mini 2/device
+# fsdp: ZeRO over the full 8-device (2-process) data axis, mini 2/device;
+# fsdp+pp 4x2: the dp axis (4) spans both processes, pp keeps 2 stages
 tc = TrainConfig(batch_size=16, mini_batch_size=2, ctx_len=32, lr=1e-2,
-                 token_budget=16 * 32 * 100.0, seed=0, sharding="fsdp",
-                 save_dir=ckdir)
+                 token_budget=16 * 32 * 100.0, seed=0, sharding=sharding,
+                 mesh_shape=mesh_shape, save_dir=ckdir)
 
 def batches(seed=11):
     rng = np.random.default_rng(seed)
@@ -121,8 +125,9 @@ def batches(seed=11):
 tr = Trainer(MODEL, tc, batch_iter=batches())
 # params/moments really are cross-process sharded: device_get must be
 # impossible from one process
-leaf = jax.tree.leaves(tr.params)[0]
-assert not leaf.sharding.is_fully_addressable, "fsdp leaf fully addressable?"
+leaves = jax.tree.leaves(tr.params)
+assert any(not l.sharding.is_fully_addressable for l in leaves), \
+    "no cross-process-sharded leaf?"
 
 if phase == "A":
     for _ in range(2):
@@ -175,13 +180,20 @@ def _run_two(script, args, extra_env=None):
     return outs
 
 
-def test_two_process_fsdp_train_save_restore(tmp_path):
-    """Pod-safe checkpointing: an fsdp-sharded trainer (params NOT fully
-    addressable from either process) trains 2 steps, saves per-process
-    shard files, and FRESH processes restore and continue bit-exactly."""
+@pytest.mark.parametrize("sharding,mesh", [
+    ("fsdp", ""),
+    # fsdp+pp: ZeRO-3 composed with the 2-stage pipeline, dp axis spanning
+    # both processes — the checkpoint leaves carry a 2-axis sharding
+    ("fsdp+pp", "4x2"),
+], ids=["fsdp", "fsdp_pp"])
+def test_two_process_train_save_restore(tmp_path, sharding, mesh):
+    """Pod-safe checkpointing: a cross-process-sharded trainer (params NOT
+    fully addressable from either process) trains 2 steps, saves
+    per-process shard files, and FRESH processes restore and continue
+    bit-exactly."""
     ckdir = str(tmp_path / "ck")
-    outs_a = _run_two(TRAIN_WORKER, ["A", ckdir])
-    outs_b = _run_two(TRAIN_WORKER, ["B", ckdir])
+    outs_a = _run_two(TRAIN_WORKER, ["A", ckdir, sharding, mesh])
+    outs_b = _run_two(TRAIN_WORKER, ["B", ckdir, sharding, mesh])
 
     def losses(out):
         for line in out.splitlines():
@@ -211,7 +223,9 @@ def test_two_process_fsdp_train_save_restore(tmp_path):
                             block_size=32, dropout=0.0, attn_impl="xla",
                             compute_dtype="float32", mup_base_n_embd=16)
     tc = TrainConfig(batch_size=16, mini_batch_size=2, ctx_len=32, lr=1e-2,
-                     token_budget=16 * 32 * 100.0, seed=0, sharding="fsdp",
+                     token_budget=16 * 32 * 100.0, seed=0, sharding=sharding,
+                     mesh_shape=(tuple(int(x) for x in mesh.split("x"))
+                                 if mesh else None),
                      save_dir=str(tmp_path / "ck1p"))
 
     def batches(seed=11):
