@@ -158,9 +158,15 @@ def main(argv=None):
             seed=args.seed + 7919)
         val_iters[name] = vit
 
+    # metric VALUES are already global (one psum inside the step), so only
+    # process 0 logs on a pod — otherwise N hosts echo N copies and wandb
+    # starts N duplicate runs (the reference gates on master_process,
+    # train_encoder.py:112-118)
+    proc0 = jax.process_index() == 0
     sink = MultiSink(
-        JsonlSink(args.metrics_jsonl, echo=args.metrics_jsonl is None),
-        WandbSink(args.wandb_project_name, enabled=args.wandb))
+        JsonlSink(args.metrics_jsonl if proc0 else None,
+                  echo=proc0 and args.metrics_jsonl is None),
+        WandbSink(args.wandb_project_name, enabled=args.wandb and proc0))
 
     # The Trainer owns prefetch: its staging stream (row accumulation ->
     # (A, micro, T) assembly -> ONE sharded device_put) runs in the prefetch
