@@ -11,16 +11,24 @@ import sys
 import types
 
 
-def load_reference_model_module():
+def _make_mu_readout():
     import torch.nn as nn
 
+    class MuReadout(nn.Linear):
+        pass
+
+    # pickle records classes by (module, qualname): claiming mup.MuReadout
+    # makes torch.save of a stub-built module produce EXACTLY what a real
+    # mup install would, so converter tests exercise the real unpickle path
+    MuReadout.__module__ = "mup"
+    MuReadout.__qualname__ = "MuReadout"
+    return MuReadout
+
+
+def load_reference_model_module():
     if "mup" not in sys.modules:
         mup_stub = types.ModuleType("mup")
-
-        class MuReadout(nn.Linear):
-            pass
-
-        mup_stub.MuReadout = MuReadout
+        mup_stub.MuReadout = _make_mu_readout()
         sys.modules["mup"] = mup_stub
 
     sys.path.insert(0, "/root/reference/training")
