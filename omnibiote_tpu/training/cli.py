@@ -106,10 +106,11 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    import jax
+
     args = build_argparser().parse_args(argv)
 
     if args.multihost:
-        import jax
         jax.distributed.initialize()
         print(f"multihost: process {jax.process_index()}/"
               f"{jax.process_count()}, {jax.local_device_count()} local "
