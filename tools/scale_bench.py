@@ -41,11 +41,20 @@ ROWS = [
          args="--layers 16 --embd 2048 --heads 16 --ctx 1024 "
               "--mini 8 --accum 1 --steps 6 --warmup 2 "
               "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1",
-         # never measured on-chip before: if mini 8 exceeds the 16 GB HBM,
-         # fall back to half the micro-batch rather than losing the row
-         fallback="--layers 16 --embd 2048 --heads 16 --ctx 1024 "
-                  "--mini 4 --accum 2 --steps 6 --warmup 2 "
-                  "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1"),
+         # never measured on-chip before — fall back rather than lose the
+         # row: (1) half the micro-batch if mini 8 exceeds the 16 GB HBM;
+         # (2) remat+flash is this row's first-ever pairing (the CPU
+         # interpreter can't exercise it), so the last resort swaps in the
+         # XLA attention path under the same memory recipe
+         fallback=[
+             "--layers 16 --embd 2048 --heads 16 --ctx 1024 "
+             "--mini 4 --accum 2 --steps 6 --warmup 2 "
+             "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1",
+             "--layers 16 --embd 2048 --heads 16 --ctx 1024 "
+             "--mini 4 --accum 2 --steps 6 --warmup 2 "
+             "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1 "
+             "--attn xla",
+         ]),
 ]
 
 
@@ -93,8 +102,13 @@ def main():
     rows = []
     for spec in ROWS:
         row = _run_probe(spec["label"], spec["args"])
-        if "error" in row and "fallback" in spec:
-            row = _run_probe(spec["label"] + "-fallback", spec["fallback"])
+        fallbacks = spec.get("fallback", [])
+        if isinstance(fallbacks, str):
+            fallbacks = [fallbacks]
+        for k, fb in enumerate(fallbacks):
+            if "error" not in row:
+                break
+            row = _run_probe(f"{spec['label']}-fallback{k + 1}", fb)
         rows.append(row)
         _flush(rows)  # keep partial artifact rows if a later probe wedges
 

@@ -41,10 +41,22 @@ def main():
     ap.add_argument("--scan-layers", type=int, default=0)
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--gelu", default="auto")
+    ap.add_argument("--attn", default="flash",
+                    help="attention impl; CPU smokes need 'xla' when remat "
+                         "is on (interpret-mode Pallas adds an ordered IO "
+                         "effect jax.checkpoint rejects; compiled TPU "
+                         "kernels have no such effect)")
     ap.add_argument("--label", default="")
     args = ap.parse_args()
 
     import jax
+    # CPU smoke escape hatch: the session sitecustomize force-selects the
+    # axon TPU platform via jax.config (env JAX_PLATFORMS alone is
+    # overridden), which hangs when the relay is down — the same counter
+    # tests/conftest.py applies
+    if os.environ.get("SCALE_PROBE_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["SCALE_PROBE_PLATFORM"])
     import omnibiote_tpu as obt
     from omnibiote_tpu.config import TrainConfig
     from omnibiote_tpu.training.train import Trainer
@@ -56,7 +68,7 @@ def main():
     model_cfg = obt.OmniBioTAConfig(
         n_layer=args.layers, n_embd=args.embd, n_head=args.heads,
         block_size=args.ctx, vocab_size=2 ** 16, dropout=args.dropout,
-        attn_impl="flash", compute_dtype="bfloat16", gelu=args.gelu,
+        attn_impl=args.attn, compute_dtype="bfloat16", gelu=args.gelu,
         checkpoint_freq=args.remat, remat_policy=args.remat_policy,
         scan_layers=bool(args.scan_layers))
     batch = args.mini * args.accum
