@@ -31,7 +31,9 @@ import numpy as np
 import optax
 from sklearn.metrics import auc, precision_recall_curve, precision_score
 
+from ..config import PAD_TOKEN
 from ..models.omnibiota import forward
+from ..ops.segments import padding_segment_ids_jnp
 from ..tokenizer import SentencePieceProcessor
 from ..training.checkpoint import load_model_checkpoint
 from .common import apply_linear_head, init_linear_head, onecycle
@@ -187,14 +189,22 @@ def _masked_bn(p, x, mask, eps=1e-5):
 
 
 def apply_contact_predictor(params, x, mask):
-    """x: (N, C, H, W); mask: (N, 1, H, W). Returns sigmoid probs (N,1,H,W)."""
+    """x: (N, C, H, W); mask: (N, 1, H, W). Returns sigmoid probs (N,1,H,W).
+
+    Every stage is re-masked: with bucket-padded pair images, the 3x3 convs
+    would otherwise read PAD-region activations at the valid boundary.
+    Zeroing outside the mask makes the PAD region behave exactly like the
+    convs' SAME zero padding — i.e. like the reference's unpadded per-sample
+    images (contact_eval_full.py.py:184-215) — so predictions on the real
+    region are bit-invariant to the bucket width (tests/test_evals_contact).
+    """
     act = lambda v: jax.nn.leaky_relu(v, 0.01)
-    out = _conv2d(params["conv_in"], x)
+    out = _conv2d(params["conv_in"], x * mask) * mask
     for blk in params["blocks"]:
         h = _conv2d(blk["conv1"], out)
-        h = act(_masked_bn(blk["bn1"], h, mask))
+        h = act(_masked_bn(blk["bn1"], h, mask)) * mask
         h = _conv2d(blk["conv2"], h)
-        h = act(_masked_bn(blk["bn2"], h, mask))
+        h = act(_masked_bn(blk["bn2"], h, mask)) * mask
         out = out + h
     out = _conv2d(params["conv_out"], out)
     return jax.nn.sigmoid(out)
@@ -214,8 +224,14 @@ def _make_fns(cfg, tx):
     def pair_features(joint, tokens, n_inner, rng=None):
         # tokens: (1, L+2); embeddings of inner tokens -> (1, n, HEAD_DIM)
         det = rng is None or cfg.dropout == 0.0
+        # PAD-bucketed positions must be invisible to attention: the
+        # reference forwards UNPADDED batch-1 samples
+        # (contact_eval_full.py.py:184-215), so without this mask the
+        # bucket's PAD tail would perturb every real-token embedding and
+        # predictions would vary with the bucket size (r4 review)
+        segs = padding_segment_ids_jnp(tokens, PAD_TOKEN)
         emb = forward(joint["model"], eval_cfg if det else cfg, tokens,
-                      deterministic=det, rng=rng,
+                      segment_ids=segs, deterministic=det, rng=rng,
                       return_embeddings=True)[:, 1:-1]
         emb = apply_linear_head(joint["head"], emb).astype(jnp.float32)
         n = emb.shape[1]

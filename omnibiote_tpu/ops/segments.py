@@ -64,6 +64,14 @@ def additive_mask(seg: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.where(vis, 0.0, NEG_INF).astype(dtype)[:, None, :, :]
 
 
+def padding_segment_ids_jnp(input_ids: jnp.ndarray,
+                            pad_token: int) -> jnp.ndarray:
+    """In-jit twin of padding_segment_ids_np: real tokens segment 0, the
+    tail from the first PAD onward a distinct negative id (invisible)."""
+    is_pad = jnp.cumsum(input_ids == pad_token, axis=-1) > 0
+    return jnp.where(is_pad, -1, 0).astype(jnp.int32)
+
+
 def padding_segment_ids_np(input_ids: np.ndarray, pad_token: int) -> np.ndarray:
     """Eval-side mask semantics (pad_attn, reference evals/gue.py:15-21):
     everything from the first PAD onward is invisible. Encoded as segment 0

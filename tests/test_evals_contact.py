@@ -55,6 +55,45 @@ def test_process_inverse_roundtrip():
     assert up.shape[0] == sum(lens[1:-1])
 
 
+def test_predictions_invariant_to_pad_bucket(ckpt):
+    """PAD-bucketed positions must be invisible: the same protein padded to
+    two different bucket widths yields identical probabilities on the real
+    region (the reference forwards unpadded batch-1 samples; r4 review found
+    pair_features forwarding without segment ids)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from omnibiote_tpu.evals.contact import (
+        _make_fns, init_contact_predictor, HEAD_DIM)
+    from omnibiote_tpu.evals.common import init_linear_head
+    from omnibiote_tpu.training.checkpoint import load_model_checkpoint
+    from omnibiote_tpu.tokenizer import load_reference
+
+    params, cfg = load_model_checkpoint(ckpt)
+    sp = load_reference("mixed")
+    # real pipeline tokenization (process_sample): tag+EOS wrapped, banned
+    # tag id dropped; PAD id 1 appears ONLY in the bucket tail
+    tok = [t for t in sp.encode("<protein>MKVLAGIWQRSTMKVLAGIWQRST<EOS>")
+           if t != 65533]
+    _, _, predict = _make_fns(cfg, optax.sgd(1e-3))
+    key = jax.random.PRNGKey(0)
+    joint = {"model": params,
+             "head": init_linear_head(key, cfg.n_embd, HEAD_DIM),
+             "cnn": init_contact_predictor(key)}
+
+    n = len(tok) - 2
+    probs = {}
+    for width in (64, 128):
+        tok_p = np.full((1, width + 2), 1, np.int32)
+        tok_p[0, :len(tok)] = np.asarray(tok, np.int32)
+        mask = np.zeros((width, width), np.float32)
+        mask[:n, :n] = 1.0
+        p = np.asarray(predict(joint, jnp.asarray(tok_p),
+                               jnp.asarray(mask)))
+        probs[width] = p[:n, :n]
+    np.testing.assert_allclose(probs[64], probs[128], rtol=0, atol=2e-6)
+
+
 def test_contact_eval_end_to_end(ckpt, tmp_path):
     from omnibiote_tpu.evals.contact import run_contact_eval
 
