@@ -355,12 +355,13 @@ def run_contact_eval(
                   if cache else None)
     tr_tok, tr_cm, tr_mask, tr_nsr = preprocess_split(
         sp, tr[0], tr[1], tr[2], banned_token, cache_path)
-    va_tok = preprocess_split(sp, va[0], va[1], va[2], banned_token)[0]
-    te_tok = preprocess_split(sp, te[0], te[1], te[2], banned_token)[0]
-    va_tmask = [process_sample(sp, s, c, m, banned_token)[2]
-                for s, c, m in zip(va[0], va[1], va[2])]
-    te_tmask = [process_sample(sp, s, c, m, banned_token)[2]
-                for s, c, m in zip(te[0], te[1], te[2])]
+    # one O(n_tokens^2) preprocessing pass per split — tokens and token
+    # masks come from the SAME preprocess_split call (r4 review: the masks
+    # were recomputed sample-by-sample, doubling preprocessing time)
+    va_pre = preprocess_split(sp, va[0], va[1], va[2], banned_token)
+    te_pre = preprocess_split(sp, te[0], te[1], te[2], banned_token)
+    va_tok, va_tmask = va_pre[0], va_pre[2]
+    te_tok, te_tmask = te_pre[0], te_pre[2]
 
     rng = jax.random.PRNGKey(seed)
     k_head, k_cnn = jax.random.split(rng)
@@ -446,18 +447,32 @@ def run_contact_eval(
 
 
 def main(argv=None):
+    # positional order mirrors the reference CLI (contact_eval_full.py.py
+    # argv[1:4]); the reference's 4th positional is a wandb run-name prefix,
+    # optional here since runs log through metrics sinks instead
     ap = argparse.ArgumentParser(description="TAPE contact prediction eval")
     ap.add_argument("tokenizer_fn")
     ap.add_argument("model_fn")
     ap.add_argument("banned_token", type=int)
-    ap.add_argument("name_prefix")
     ap.add_argument("--data_dir", default="../datasets/TAPE/data")
     ap.add_argument("--num_epochs", type=int, default=128)
+    ap.add_argument("--num_accumulation_steps", type=int, default=128)
+    ap.add_argument("--num_tests", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--embed_lr", type=float, default=1e-4)
+    ap.add_argument("--head_lr", type=float, default=1e-3)
+    ap.add_argument("--contact_pred_lr", type=float, default=1e-3)
+    ap.add_argument("--resnet_blocks", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no_cache", action="store_true")
     a = ap.parse_args(argv)
-    return run_contact_eval(a.tokenizer_fn, a.model_fn, a.banned_token,
-                            data_dir=a.data_dir, num_epochs=a.num_epochs,
-                            seed=a.seed)
+    return run_contact_eval(
+        a.tokenizer_fn, a.model_fn, a.banned_token, data_dir=a.data_dir,
+        num_epochs=a.num_epochs,
+        num_accumulation_steps=a.num_accumulation_steps,
+        num_tests=a.num_tests, lr=a.lr, embed_lr=a.embed_lr,
+        head_lr=a.head_lr, contact_pred_lr=a.contact_pred_lr,
+        resnet_blocks=a.resnet_blocks, seed=a.seed, cache=not a.no_cache)
 
 
 if __name__ == "__main__":

@@ -276,8 +276,12 @@ def run_deepnap(
 
         rng2 = jax.random.PRNGKey(seed + 100 + split)
         for step in range(cv_steps):
+            # full batch_size per step: cv_steps is sized from batch_size,
+            # so a smaller draw would silently under-train the CV phase
+            # relative to the stated num_epochs_cv (the reference notebook
+            # samples np.random.choice(len(train), batch_size) here)
             idx = rng_np.integers(0, len(train_set),
-                                  size=min(batch_size, 64))
+                                  size=min(batch_size, len(train_set)))
             sub = [train_set[i] for i in idx]
             xp = jnp.asarray(np.stack([encode_peptide(
                 r["peptide_sequence"])[None] for r in sub]))

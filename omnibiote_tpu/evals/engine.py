@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,7 +84,8 @@ def domain_mlm_pretrain(
         acc = None
         total = 0.0
         for _ in range(num_accumulation_steps):
-            idx = rng_np.choice(len(tokenized), batch_size, replace=False)
+            idx = rng_np.choice(len(tokenized), min(batch_size, len(tokenized)),
+                    replace=False)  # small splits must not crash
             x, seg = pad_batch([tokenized[i] for i in idx], bucket, max_len)
             mask = rng_np.random(x.shape) < 0.15
             masked = np.where(mask, MASK_TOKEN, x)
@@ -102,16 +105,23 @@ def domain_mlm_pretrain(
 # Sequence-classification fine-tune (gue.py:50-260)
 # --------------------------------------------------------------------------
 
-def _predict_classes(params, head, cfg, tokenized, batch_size, bucket,
-                     max_len, pool: str = "first"):
-    eval_cfg = cfg.replace(dropout=0.0)
-
+@functools.lru_cache(maxsize=None)
+def _classify_fwd(eval_cfg, pool):
+    """Jitted pooled-classification forward, cached per (config, pooling):
+    a jit defined inside _predict_classes re-compiled the encoder for every
+    evaluation call x bucket shape (r4 review)."""
     @jax.jit
     def fwd(params, head, tokens, segments):
         emb = forward(params, eval_cfg, tokens, segment_ids=segments,
                       deterministic=True, return_embeddings=True)
         pooled = emb[:, 0] if pool == "first" else emb.mean(axis=1)
         return apply_linear_head(head, pooled)
+    return fwd
+
+
+def _predict_classes(params, head, cfg, tokenized, batch_size, bucket,
+                     max_len, pool: str = "first"):
+    fwd = _classify_fwd(cfg.replace(dropout=0.0), pool)
 
     preds = []
     for i in range(0, len(tokenized), batch_size):
@@ -203,7 +213,8 @@ def finetune_classifier(
         acc = None
         total = 0.0
         for _ in range(num_accumulation_steps):
-            idx = rng_np.choice(len(X_train), batch_size, replace=False)
+            idx = rng_np.choice(len(X_train), min(batch_size, len(X_train)),
+                    replace=False)  # small splits must not crash
             x, seg = pad_batch([X_train[i] for i in idx], bucket, max_len)
             y = Y_train[idx].astype(np.int32)
             rng, k = jax.random.split(rng)

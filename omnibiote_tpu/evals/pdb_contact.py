@@ -91,7 +91,15 @@ def run_pdb_contact(
     head_lr: float = 1e-2,
     folds: int = 10,
     seed: int = 0,
+    stable_folds: bool = False,
 ):
+    """stable_folds=False reproduces a reference defect faithfully
+    (PDB_contact_eval.py:100-111): random.shuffle(data) runs INSIDE the
+    fold loop with an advancing RNG, so 'i % folds == fold' indexes a
+    different permutation per fold — the CV folds are not disjoint (a
+    record can be tested in several folds or none, and appear in another
+    fold's train set). stable_folds=True is the repaired protocol:
+    each peptide's records are shuffled once, before the fold loop."""
     random.seed(seed)
     np.random.seed(seed)
     rng_np = np.random.default_rng(seed)
@@ -105,12 +113,17 @@ def run_pdb_contact(
     for p, n, l in zip(peptides, nucleotides, labels):
         peptide_data.setdefault(p, []).append((p, n, l))
 
+    if stable_folds:
+        for data in peptide_data.values():
+            random.shuffle(data)  # once: folds partition a FIXED order
+
     results = []
     for fold in range(folds):
         X_train, Y_train, L_train = [], [], []
         X_test, Y_test, L_test = [], [], []
         for pep, data in peptide_data.items():
-            random.shuffle(data)
+            if not stable_folds:
+                random.shuffle(data)  # faithful: see docstring
             for i, (p, n, l) in enumerate(data):
                 tok, tok_labels, plen = process_sequence(sp, p, n, l, banned)
                 if len(tok) > MAX_LEN:

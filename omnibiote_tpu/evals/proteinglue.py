@@ -177,12 +177,21 @@ def run_proteinglue(
     datasets = get_cleaned_evals(eval_dir, force=force_clean)
     prefix = [t for t in sp.encode("<protein>") if t not in banned]
 
+    # one tokenize+align pass per task: the per-token sp.decode alignment
+    # dominates the suite's CPU time, and extra_pretrain + the main loop +
+    # the CB513 subtests would otherwise each redo it (r4 review)
+    _sets_cache = {}
+
+    def sets(task, align_fn):
+        if task not in _sets_cache:
+            _sets_cache[task] = get_training_sets(
+                task, datasets, sp, align_fn, prefix, banned)
+        return _sets_cache[task]
+
     if extra_pretrain:
         all_seqs = []
         for task in tasks:
-            X_train = get_training_sets(
-                task, datasets, sp, TASK_SPECS[task][2], prefix, banned)[0]
-            all_seqs += X_train
+            all_seqs += sets(task, TASK_SPECS[task][2])[0]
         params = domain_mlm_pretrain(
             params, cfg, all_seqs, num_epochs=pretraining_epochs,
             batch_size=batch_size,
@@ -192,8 +201,7 @@ def run_proteinglue(
     results = {}
     for task in tasks:
         metric, loss_str, align_fn = TASK_SPECS[task]
-        X_train, y_train, X_val, y_val, X_test, y_test = get_training_sets(
-            task, datasets, sp, align_fn, prefix, banned)
+        X_train, y_train, X_val, y_val, X_test, y_test = sets(task, align_fn)
         epochs = num_epochs or (16 if task in ("EPI", "PPI") else 64)
         model_p, head, _ = finetune_token_task(
             params, cfg, {"train": (X_train, y_train), "val": (X_val, y_val)},
@@ -209,8 +217,7 @@ def run_proteinglue(
         # CB513 subtests ride the SS3/SS8 heads (proteinGLUE.py:649-658)
         for base, sub in (("SS3", "CB513SS3"), ("SS8", "CB513SS8")):
             if task == base:
-                _, _, _, _, X_cb, y_cb = get_training_sets(
-                    sub, datasets, sp, align_fn, prefix, banned)
+                _, _, _, _, X_cb, y_cb = sets(sub, align_fn)
                 results[sub] = evaluate_token_task(
                     model_p, head, cfg, X_cb, y_cb,
                     metric_fn=metric_function(metric),

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,16 +45,22 @@ MAX_TOKENS = 1024   # x[:1024] (TAPE.py:482)
 MAX_LABELS = 1023   # y[:1023] (TAPE.py:485)
 
 
-def _batched_embeddings(params, cfg, token_lists, batch_size, bucket,
-                        cache=None):
-    """Eval-mode embeddings for a list of token sequences. Returns a list of
-    np arrays (len_i, D) for positions 0..len_i-1."""
-    eval_cfg = cfg.replace(dropout=0.0)
-
+@functools.lru_cache(maxsize=None)
+def _embed_fwd(eval_cfg):
+    """Jitted eval forward, cached per (frozen, hashable) config: defining
+    the jit inside the caller created a fresh closure — and a full XLA
+    recompile per bucket shape — on EVERY validation call (r4 review)."""
     @jax.jit
     def fwd(params, tokens, segments):
         return forward(params, eval_cfg, tokens, segment_ids=segments,
                        deterministic=True, return_embeddings=True)
+    return fwd
+
+
+def _batched_embeddings(params, cfg, token_lists, batch_size, bucket):
+    """Eval-mode embeddings for a list of token sequences. Returns a list of
+    np arrays (len_i, D) for positions 0..len_i-1."""
+    fwd = _embed_fwd(cfg.replace(dropout=0.0))
 
     out = []
     for i in range(0, len(token_lists), batch_size):
@@ -165,24 +173,34 @@ def finetune_token_task(
         per_seq = jnp.sum(per, -1) / jnp.maximum(label_mask.sum(-1), 1)
         return jnp.sum(per_seq) / per_seq.shape[0]
 
+    # grads and the optimizer update are SEPARATE jitted fns so
+    # num_accumulation_steps > 1 averages gradients into ONE update per
+    # step (the reference accumulates then steps once, TAPE.py:477-512);
+    # a per-micro-batch update would also burn the linear-to-zero schedule
+    # num_accumulation_steps times too fast (r4 review)
     if train_backbone:
         @jax.jit
-        def grad_step(joint, opt_state, tokens, segments, labels, lmask, rng):
-            loss, grads = jax.value_and_grad(
+        def micro_grads(joint, tokens, segments, labels, lmask, rng):
+            return jax.value_and_grad(
                 lambda j: loss_terms(j["model"], j["head"], tokens, segments,
                                      labels, lmask, rng))(joint)
+
+        @jax.jit
+        def apply_grads(joint, opt_state, grads):
             updates, opt_state = tx.update(grads, opt_state, joint)
-            return optax.apply_updates(joint, updates), opt_state, loss
+            return optax.apply_updates(joint, updates), opt_state
     else:
         @jax.jit
-        def grad_step(joint, opt_state, tokens, segments, labels, lmask, rng):
-            model_params = joint["model"]
-            loss, grads = jax.value_and_grad(
-                lambda h: loss_terms(model_params, h, tokens, segments,
+        def micro_grads(joint, tokens, segments, labels, lmask, rng):
+            return jax.value_and_grad(
+                lambda h: loss_terms(joint["model"], h, tokens, segments,
                                      labels, lmask, rng))(joint["head"])
+
+        @jax.jit
+        def apply_grads(joint, opt_state, grads):
             updates, opt_state = tx.update(grads, opt_state, joint["head"])
             head = optax.apply_updates(joint["head"], updates)
-            return {"model": model_params, "head": head}, opt_state, loss
+            return {"model": joint["model"], "head": head}, opt_state
 
     def stage(idx):
         toks = [X_train[i][:MAX_TOKENS] for i in idx]
@@ -209,10 +227,18 @@ def finetune_token_task(
     history = []
     val_every = max(1, num_steps // test_freq)
 
+    # Frozen backbone: the validation embeddings never change — compute them
+    # once instead of a full forward over the val split per validation, and
+    # snapshot only the head instead of device_get-ing the whole unchanged
+    # backbone on every improvement (r4 review).
+    frozen_emb_val = (None if train_backbone else _batched_embeddings(
+        joint["model"], cfg, X_val, batch_size, bucket))
+
     for step in range(num_steps):
         if step % val_every == 0:
-            emb_val = _batched_embeddings(
-                joint["model"], cfg, X_val, batch_size, bucket)
+            emb_val = (frozen_emb_val if frozen_emb_val is not None
+                       else _batched_embeddings(joint["model"], cfg, X_val,
+                                                batch_size, bucket))
             gts, preds = _predict(joint["head"], emb_val, Y_val,
                                   single_target, is_mse)
             m = metric_fn(gts, preds)
@@ -221,21 +247,33 @@ def finetune_token_task(
                 log(history[-1])
             if m > best_metric:
                 best_metric = m
-                best_snapshot = jax.tree.map(np.asarray, joint)
+                best_snapshot = jax.tree.map(
+                    np.asarray, joint if train_backbone else joint["head"])
 
         total = 0.0
+        acc = None
         for _ in range(num_accumulation_steps):
-            idx = rng_np.choice(len(X_train), batch_size, replace=False)
+            idx = rng_np.choice(len(X_train), min(batch_size, len(X_train)),
+                                replace=False)  # small splits must not crash
             x, seg, labels, lmask = stage(idx)
             rng, k = jax.random.split(rng)
-            joint, opt_state, loss = grad_step(
-                joint, opt_state, x, seg, labels, lmask, k)
+            loss, grads = micro_grads(joint, x, seg, labels, lmask, k)
+            acc = grads if acc is None else jax.tree.map(
+                jnp.add, acc, grads)
             total += float(loss) / num_accumulation_steps
+        if num_accumulation_steps > 1:
+            acc = jax.tree.map(
+                lambda g: g / num_accumulation_steps, acc)
+        joint, opt_state = apply_grads(joint, opt_state, acc)
         if log:
             log({"step": step, "loss": total})
 
     if best_snapshot is not None:
-        joint = jax.tree.map(jnp.asarray, best_snapshot)
+        if train_backbone:
+            joint = jax.tree.map(jnp.asarray, best_snapshot)
+        else:
+            joint = {"model": joint["model"],
+                     "head": jax.tree.map(jnp.asarray, best_snapshot)}
     return joint["model"], joint["head"], {"best_val": best_metric,
                                            "history": history}
 
