@@ -112,6 +112,9 @@ def shard_reader(
     of the returned object (updated at chunk boundaries).
     """
     filenames = list(filenames)
+    if not filenames:
+        raise ValueError("need at least one shard file (an empty list "
+                         "would spin the epoch loop forever)")
     st = state or ReaderState(seed=seed)
     banned = np.asarray(list(banned_tokens), dtype=np.int64)
 
@@ -263,11 +266,23 @@ def batch_split(batch_size: int, proportions: Sequence[float]) -> List[int]:
 
 
 def list_shards(base_dir: str, rel_dirs: Sequence[str]) -> List[List[str]]:
-    """Enumerate .npy shard files per corpus dir (train_encoder.py:95-99)."""
+    """Enumerate .npy shard files per corpus dir (train_encoder.py:95-99).
+
+    Only *.npy entries are returned (a stray editor/temp file would crash
+    np.load chunks later mid-training), and an empty corpus dir fails HERE
+    with a clear message — downstream, an empty shard list would spin the
+    epoch loop forever without yielding (r4 review)."""
     out = []
     for rel in rel_dirs:
         d = os.path.join(base_dir, rel)
-        out.append(sorted(os.path.join(d, f) for f in os.listdir(d)))
+        files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                       if f.endswith(".npy"))
+        if not files:
+            raise FileNotFoundError(
+                f"no .npy token shards in {d!r} — run the preprocessing "
+                "tokenize step (omnibiote_tpu.preprocessing.tokenize_corpus)"
+                " first")
+        out.append(files)
     return out
 
 
@@ -329,18 +344,27 @@ def pack_lines_native(lines, ctx_len: int, use_padding: bool = False):
             np.zeros((0,), np.int32)).astype(np.int32)
     offsets = np.zeros(len(lines) + 1, np.int64)
     np.cumsum([len(l) for l in lines], out=offsets[1:])
+    # Capacity is provably sufficient under the reference flush semantics
+    # (every flushed row consumes > ctx tokens, counting the dropped
+    # overflow line — module docstring), but the C++ packer silently drops
+    # lines past capacity, so a semantics change here would mean silent
+    # corpus loss: retry with doubled capacity whenever the returned row
+    # count hits the cap (defensive, r4 review)
     cap_rows = max(1, int(offsets[-1]) // max(ctx_len, 1) + 1)
-    rows = np.zeros((cap_rows, ctx_len), np.int32)
-    segs = np.zeros((cap_rows, ctx_len), np.int32)
-    consumed = ctypes.c_long(0)
-    n = lib.obt_pack_lines(
-        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-        len(lines), ctx_len, int(use_padding),
-        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        cap_rows, ctypes.byref(consumed))
-    return rows[:n], segs[:n], int(consumed.value)
+    while True:
+        rows = np.zeros((cap_rows, ctx_len), np.int32)
+        segs = np.zeros((cap_rows, ctx_len), np.int32)
+        consumed = ctypes.c_long(0)
+        n = lib.obt_pack_lines(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            len(lines), ctx_len, int(use_padding),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            cap_rows, ctypes.byref(consumed))
+        if n < cap_rows:
+            return rows[:n], segs[:n], int(consumed.value)
+        cap_rows *= 2
 
 
 class NativePacker:
@@ -375,17 +399,27 @@ def native_chunk_rows(
     (tokenizer/cpp/packer.cc obt_pack_chunk). Semantics match shard_reader +
     pack_sequences except the line shuffle uses its own seeded generator.
 
-    Yields (rows, segs) ndarray pairs per chunk; resumable via ReaderState.
+    Yields (rows, segs) ndarray pairs per chunk; CHUNK-granular resume via
+    ReaderState (epoch/chunk position AND the packer carry — without the
+    carry a resume would re-pack with an empty partial row and silently
+    diverge from the uninterrupted stream; r4 review). For row-exact
+    resume use native_row_stream.
     """
     import ctypes
     from ..tokenizer import _load_lib
 
     lib = _load_lib()
     filenames = list(filenames)
+    if not filenames:
+        raise ValueError("need at least one shard file (an empty list "
+                         "would spin the epoch loop forever)")
     st = state or ReaderState(seed=seed)
     banned = np.asarray(list(banned_tokens), np.int32)
     carry = np.zeros(ctx_len, np.int32)
     carry_len = ctypes.c_int(0)
+    if st.carry:
+        carry[:len(st.carry)] = np.asarray(st.carry, np.int32)
+        carry_len.value = len(st.carry)
 
     while True:
         rng = np.random.default_rng((st.seed, st.epoch))
@@ -397,6 +431,7 @@ def native_chunk_rows(
                 lib, filenames, chunks[st.chunk_idx], banned, st, ctx_len,
                 use_padding, carry, carry_len)
             st.chunk_idx += 1
+            st.carry = carry[:carry_len.value].tolist()
             if len(rows):
                 yield rows, segs
         st.epoch += 1
@@ -410,21 +445,35 @@ def _native_pack_one_chunk(lib, filenames, chunk, banned, st, ctx_len,
 
     block = np.ascontiguousarray(np.concatenate(
         [np.load(filenames[i]) for i in chunk]).astype(np.int32))
-    cap = len(block) // max(ctx_len, 1) + 2
-    rows = np.zeros((cap, ctx_len), np.int32)
-    segs = np.zeros((cap, ctx_len), np.int32)
     shuffle_seed = (st.seed * 1_000_003 + st.epoch * 97 +
                     st.chunk_idx) & 0xFFFFFFFFFFFFFFFF
-    n = lib.obt_pack_chunk(
-        block.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        len(block),
-        banned.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        len(banned), shuffle_seed, ctx_len, int(use_padding),
-        carry.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        ctypes.byref(carry_len),
-        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), cap)
-    return rows[:n], segs[:n]
+    # Capacity is provably sufficient under the reference flush semantics
+    # (every flushed row consumes > ctx tokens incl. the dropped overflow
+    # line), but the C++ packer drops lines past capacity silently, so
+    # guard against a future semantics change: the call mutates carry, so
+    # snapshot it and retry the whole chunk with doubled capacity when the
+    # returned row count hits the cap (defensive, r4 review)
+    snap = carry[:carry_len.value].copy()
+    snap_len = carry_len.value
+    cap = len(block) // max(ctx_len, 1) + 2
+    while True:
+        rows = np.zeros((cap, ctx_len), np.int32)
+        segs = np.zeros((cap, ctx_len), np.int32)
+        n = lib.obt_pack_chunk(
+            block.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            len(block),
+            banned.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            len(banned), shuffle_seed, ctx_len, int(use_padding),
+            carry.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ctypes.byref(carry_len),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), cap)
+        if n < cap:
+            return rows[:n], segs[:n]
+        carry[:] = 0
+        carry[:snap_len] = snap
+        carry_len.value = snap_len
+        cap *= 2
 
 
 def native_row_stream(
@@ -454,6 +503,9 @@ def native_row_stream(
 
     lib = _load_lib()
     filenames = list(filenames)
+    if not filenames:
+        raise ValueError("need at least one shard file (an empty list "
+                         "would spin the epoch loop forever)")
     st = state or ReaderState(seed=seed)
     banned = np.asarray(list(banned_tokens), np.int32)
 

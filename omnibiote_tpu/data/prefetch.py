@@ -32,6 +32,7 @@ class DevicePrefetcher:
         self._device_put = device_put
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._done = False
         self._exc: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -72,8 +73,15 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        # Once exhausted (or closed), stay exhausted: the single None
+        # sentinel is consumed exactly once, so a later next() — or one
+        # racing close()'s queue drain — would otherwise block forever on
+        # a queue no producer will ever fill (r4 review).
+        if self._done or self._stop.is_set():
+            raise StopIteration
         item = self._q.get()
         if item is None:
+            self._done = True
             if self._exc is not None:
                 raise self._exc
             raise StopIteration
@@ -88,6 +96,12 @@ class DevicePrefetcher:
             while True:
                 self._q.get_nowait()
         except queue.Empty:
+            pass
+        # wake a consumer already blocked in _q.get(): post-drain the queue
+        # stays empty forever, so a sentinel is the only way it ever returns
+        try:
+            self._q.put_nowait(None)
+        except queue.Full:
             pass
         self._thread.join(timeout=join_timeout)
         if self._thread.is_alive():

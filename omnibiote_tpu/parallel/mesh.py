@@ -37,6 +37,19 @@ def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
         axis_names = (DATA_AXIS,)
     assert np.prod(mesh_shape) == len(devices), (
         f"mesh shape {mesh_shape} != {len(devices)} devices")
+    if (len(mesh_shape) > 1 and devices is jax.devices()
+            and devices and devices[0].platform == "tpu"):
+        # Multi-dim meshes on real hardware: mesh_utils maps mesh neighbors
+        # onto ICI-neighbor chips (a naive reshape of the flat device list
+        # need not, sending every ppermute / all-gather over multi-hop
+        # links at pod scale). Explicit device lists (tests, subsets) keep
+        # the caller's order; CPU fallback likewise.
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh(tuple(mesh_shape))
+            return Mesh(arr, axis_names=tuple(axis_names))
+        except (ValueError, AssertionError, NotImplementedError):
+            pass  # e.g. host-platform CPU devices: fall through to reshape
     arr = np.asarray(devices).reshape(mesh_shape)
     return Mesh(arr, axis_names=tuple(axis_names))
 

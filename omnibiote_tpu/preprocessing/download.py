@@ -90,7 +90,14 @@ def download_seq_files(
                     f"(attempt {attempt}/{max_retries}): {e}; "
                     f"retrying in {retry_delay}s")
                 time.sleep(retry_delay)
-                sess.reconnect()
+                try:
+                    sess.reconnect()
+                except _TRANSIENT as e2:
+                    # the server being unreachable during reconnection is
+                    # the LIKELY state after a transient drop — it must
+                    # consume this attempt, not abort the whole mirror run
+                    log(f"reconnect failed (attempt {attempt}/"
+                        f"{max_retries}): {e2}")
         else:
             log(f"giving up on {name} after {max_retries} attempts")
     return transferred

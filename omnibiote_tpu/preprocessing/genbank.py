@@ -68,8 +68,13 @@ def process_seq_gz(gz_file_path: str, save_dir: str) -> Dict[str, int]:
     out = os.path.join(
         save_dir,
         os.path.basename(gz_file_path).replace(".seq.gz", ".txt.gz"))
-    with gzip.open(out, "wb") as f:
+    # atomic publish: main() skips any existing output name, so a shard
+    # truncated by a mid-write crash would otherwise be treated as complete
+    # forever (r4 review)
+    tmp = out + ".tmp"
+    with gzip.open(tmp, "wb") as f:
         f.write("".join(parts).encode("utf-8"))
+    os.replace(tmp, out)
     return counts
 
 

@@ -22,6 +22,8 @@ from typing import Iterator, List, Sequence
 import numpy as np
 
 from ..config import EOS_TOKEN
+
+_EOS_ARR = np.asarray([EOS_TOKEN], np.int32)
 from ..tokenizer import SentencePieceProcessor
 
 DEFAULT_SHARD_TOKENS = 25_000_000  # ~100 MB of int32 per shard (loader.py:33)
@@ -82,8 +84,11 @@ def tokenize_to_shards(
         encoded = sp.encode_batch(batch, n_threads=n_threads)
         for ids in encoded:
             split = "val" if rng.random() < val_fraction else "train"
-            buffers[split].append(
-                np.append(np.asarray(ids, np.int32), EOS_TOKEN))
+            # int32 concatenate, NOT np.append (whose default-int64 scalar
+            # promotes the whole buffered record to int64, doubling the
+            # shard buffer's memory until flush)
+            buffers[split].append(np.concatenate(
+                [np.asarray(ids, np.int32), _EOS_ARR]))
             n_records += 1
         batch.clear()
         flush("train")

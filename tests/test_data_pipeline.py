@@ -200,6 +200,90 @@ def test_native_packer_bitwise_parity():
     np.testing.assert_array_equal(both, rows_all)
 
 
+def test_native_padding_capacity_long_lines():
+    """Padding mode with long lines (one line per row + PAD, the overflow
+    line dropped — the reference's padding semantics): C++ must stay
+    bit-parity with the Python packer here, and the row-buffer capacity
+    must never truncate the stream (the retry loop guards the C++ packer's
+    silent drop-at-capacity; r4 review)."""
+    from omnibiote_tpu.data.loader import pack_lines_native
+
+    rng = np.random.default_rng(21)
+    lines = []
+    for _ in range(300):
+        ln = int(rng.integers(17, 22))   # ~0.6 * ctx 32 — one line per row
+        arr = rng.integers(4, 1000, size=ln).astype(np.int32)
+        arr[-1] = EOS_TOKEN
+        lines.append(arr)
+
+    expect = []
+    g = pack_sequences(iter(lines), ctx_len=32, use_padding=True)
+    try:
+        while True:
+            expect.append(np.asarray(next(g), np.int32))
+    except (StopIteration, RuntimeError):
+        pass
+    rows, _, _ = pack_lines_native(lines, 32, True)
+    # one row per TWO lines (each flush drops the overflowing line, per the
+    # reference's padding semantics) — and no capacity truncation
+    assert len(rows) >= len(expect) - 1 >= 140, (len(rows), len(expect))
+    for r_py, r_c in zip(expect, rows):
+        np.testing.assert_array_equal(r_py, r_c)
+
+
+def test_native_chunk_rows_resume_carries_packer_state(tmp_path):
+    """Chunk-granular resume: the packer carry is part of ReaderState — a
+    resume without it would re-pack with an empty partial row and silently
+    diverge from the uninterrupted stream (r4 review)."""
+    from omnibiote_tpu.data.loader import ReaderState, native_chunk_rows
+
+    rng = np.random.default_rng(13)
+    files = []
+    for i in range(4):
+        toks = []
+        for _ in range(200):
+            ln = int(rng.integers(5, 40))
+            seq = rng.integers(4, 1000, size=ln)
+            seq[-1] = EOS_TOKEN
+            toks.extend(seq.tolist())
+        p = tmp_path / f"s{i}.npy"
+        np.save(p, np.asarray(toks, np.int32))
+        files.append(str(p))
+
+    st = ReaderState(seed=5)
+    g = native_chunk_rows(files, ctx_len=64, seed=5, chunk_files=2, state=st)
+    next(g)                                        # chunk 0 consumed
+    snap = ReaderState.from_dict(st.to_dict())
+    assert snap.carry, "carry expected to be non-empty mid-stream"
+    ref = [next(g) for _ in range(3)]              # crosses an epoch too
+
+    g2 = native_chunk_rows(files, ctx_len=64, seed=5, chunk_files=2,
+                           state=snap)
+    got = [next(g2) for _ in range(3)]
+    for (r1, s1), (r2, s2) in zip(ref, got):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(s1, s2)
+
+
+def test_prefetcher_stays_exhausted():
+    """A DevicePrefetcher that raised StopIteration must keep raising it:
+    the single None sentinel is consumed once, so a later next() would
+    otherwise block forever on the empty queue (r4 review)."""
+    import pytest
+    from omnibiote_tpu.data.prefetch import DevicePrefetcher
+
+    pf = DevicePrefetcher(iter([{"x": np.zeros(2)}]), depth=2,
+                          device_put=False)
+    assert next(pf)["x"].shape == (2,)
+    with pytest.raises(StopIteration):
+        next(pf)
+    for _ in range(3):                 # stays exhausted, never blocks
+        with pytest.raises(StopIteration):
+            next(pf)
+    assert next(pf, None) is None      # the polling idiom from the review
+    pf.close()
+
+
 def test_native_chunk_rows_determinism_and_filter(tmp_path):
     from omnibiote_tpu.data.loader import native_chunk_rows
     from omnibiote_tpu.ops.segments import segment_ids_np
