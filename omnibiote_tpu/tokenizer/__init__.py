@@ -30,11 +30,16 @@ def _build_library() -> str:
     newest_src = max(os.path.getmtime(s) for s in srcs)
     if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) > newest_src:
         return _SO_PATH
+    # compile to a per-process temp name and publish atomically: concurrent
+    # importers (multiprocess loaders, multi-host startup on a shared FS)
+    # must never CDLL a half-written .so (r4 review)
+    tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-std=c++20", "-O2", "-fPIC", "-shared", "-pthread",
-        "-o", _SO_PATH, *srcs,
+        "-o", tmp, *srcs,
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
+    os.replace(tmp, _SO_PATH)
     return _SO_PATH
 
 
@@ -106,6 +111,8 @@ class SentencePieceProcessor:
         if not h:
             raise ValueError(f"failed to load {model_file}: "
                              f"{err.value.decode()}")
+        if getattr(self, "_h", None):  # re-load: free the previous native
+            self._lib.obt_spm_free(self._h)  # model, don't leak it
         self._h = ctypes.c_void_p(h)
         self._lib = lib
         return self
@@ -158,19 +165,33 @@ class SentencePieceProcessor:
             self._h, flat, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
             len(blobs), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), cap,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
-        return [out[i, :min(lens[i], cap)].copy() for i in range(len(blobs))]
+        # nmt_nfkc normalization can EXPAND text past cap (e.g. U+FDFA ->
+        # ~33 chars): the C side reports the true length, so re-encode the
+        # rare oversized items through encode()'s retrying path instead of
+        # silently truncating the corpus stream (r4 review)
+        return [np.asarray(self.encode(texts[i]), np.int32)
+                if lens[i] > cap else out[i, :lens[i]].copy()
+                for i in range(len(blobs))]
 
     def decode(self, ids) -> str:
-        if ids and isinstance(ids[0], (list, tuple, np.ndarray)):
+        if isinstance(ids, np.ndarray) and ids.ndim == 1:
+            ids = ids.tolist()
+        # len()-based check: `if ids` on an ndarray raises the ambiguous-
+        # truth-value error, and encode_batch (this module) returns
+        # ndarrays (r4 review)
+        if len(ids) and isinstance(ids[0], (list, tuple, np.ndarray)):
             return [self.decode(list(x)) for x in ids]
         arr = (ctypes.c_int * len(ids))(*[int(i) for i in ids])
         cap = max(64, len(ids) * 8)
         buf = ctypes.create_string_buffer(cap)
         n = self._lib.obt_spm_decode(self._h, arr, len(ids), buf, cap)
         if n > cap:
-            buf = ctypes.create_string_buffer(n)
-            self._lib.obt_spm_decode(self._h, arr, len(ids), buf, n)
-        return buf.raw[:min(n, cap)].decode("utf-8", errors="replace")
+            # retry with the true length — and slice with IT, not the old
+            # cap (the old slice silently truncated long decodes, r4 review)
+            cap = n
+            buf = ctypes.create_string_buffer(cap)
+            n = self._lib.obt_spm_decode(self._h, arr, len(ids), buf, cap)
+        return buf.raw[:n].decode("utf-8", errors="replace")
 
     decode_ids = decode
     DecodeIds = decode
@@ -216,6 +237,17 @@ def train_bpe(sentences: Iterable[str], vocab_size: int, out_path: str,
     parity-tested against (byte-identical .model output).
     """
     lib = _load_lib()
+    sentences = list(sentences)
+    # the C boundary marshals sentences newline-separated and symbols
+    # comma-separated: an embedded separator would silently change the
+    # training corpus / symbol list, so reject it here (r4 review)
+    if any("\n" in s for s in sentences):
+        raise ValueError("training sentences must not contain newlines "
+                         "(the C trainer treats '\\n' as the sentence "
+                         "separator); split or strip them first")
+    if any("," in s for s in (*user_defined, *control)):
+        raise ValueError("user_defined/control symbols must not contain "
+                         "',' (the C trainer's symbol-list separator)")
     blob = "\n".join(sentences).encode("utf-8")
     rc = lib.obt_spm_train_ex(
         blob, len(blob), vocab_size, ",".join(user_defined).encode(),

@@ -1,6 +1,7 @@
 // C ABI for the tokenizer core (consumed via ctypes from Python).
 // Batch encode runs on a std::thread pool — the host-side packing pipeline
 // must keep a TPU fed (SURVEY.md "hard parts": host tokenization throughput).
+#include <cstdio>
 #include <atomic>
 #include <cstring>
 #include <thread>
@@ -136,8 +137,14 @@ int obt_spm_train_ex(const char* sentences, long sentences_len,
       obt::SpmModel::Serialize(pieces, "identity", true, true);
   FILE* f = std::fopen(out_path, "wb");
   if (!f) return 1;
-  std::fwrite(blob.data(), 1, blob.size(), f);
-  std::fclose(f);
+  // a short write (disk full / quota) must fail loudly: a truncated model
+  // would otherwise report training success and fail only at load time
+  size_t written = std::fwrite(blob.data(), 1, blob.size(), f);
+  int close_rc = std::fclose(f);
+  if (written != blob.size() || close_rc != 0) {
+    std::remove(out_path);
+    return 2;
+  }
   return 0;
 }
 

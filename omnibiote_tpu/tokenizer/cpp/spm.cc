@@ -36,7 +36,9 @@ struct Cursor {
 
   std::string Bytes() {
     uint64_t n = Varint();
-    if (!ok || p + n > end) {
+    // compare against the REMAINING length: `p + n > end` overflows the
+    // pointer for a corrupt huge varint and bypasses the bounds check
+    if (!ok || n > static_cast<uint64_t>(end - p)) {
       ok = false;
       return {};
     }
@@ -60,7 +62,12 @@ struct Cursor {
     switch (wire) {
       case 0: Varint(); break;
       case 1: p += 8; break;
-      case 2: { uint64_t n = Varint(); p += n; break; }
+      case 2: {
+        uint64_t n = Varint();
+        if (n > static_cast<uint64_t>(end - p)) { ok = false; break; }
+        p += n;
+        break;
+      }
       case 5: p += 4; break;
       default: ok = false;
     }
@@ -183,6 +190,10 @@ bool SpmModel::Load(const std::string& path, std::string* err) {
 bool SpmModel::LoadFromString(const std::string& data, std::string* err) {
   pieces_.clear();
   piece_index_.clear();
+  matcher_ids_.clear();
+  matcher_first_bytes_.clear();
+  charsmap_ = CharsMap();
+  unk_id_ = 0;
   Cursor c{reinterpret_cast<const uint8_t*>(data.data()),
            reinterpret_cast<const uint8_t*>(data.data()) + data.size()};
   while (c.p < c.end && c.ok) {
@@ -229,7 +240,11 @@ bool SpmModel::LoadFromString(const std::string& data, std::string* err) {
   for (int i = 0; i < static_cast<int>(pieces_.size()); ++i) {
     piece_index_.emplace(pieces_[i].piece, i);
     if (pieces_[i].type == kUnknown) unk_id_ = i;
-    if (pieces_[i].type == kUserDefined || pieces_[i].type == kControl)
+    // USER_DEFINED only: real sentencepiece never extracts CONTROL
+    // pieces from raw text (text containing a literal "<s>" tokenizes as
+    // characters), and matching them would let plain text inject control
+    // ids (r4 review)
+    if (pieces_[i].type == kUserDefined)
       matcher_ids_.push_back(i);
   }
   // longest-first for prefix matching
@@ -651,12 +666,15 @@ std::vector<std::string> MergeLoopNaive(
 
   std::vector<std::string> merged_pieces;
   for (int64_t m = 0; m < n_merges; ++m) {
-    // best pair by count (ties: lexicographic for determinism)
+    // best pair by count; ties resolve to the lexicographically smallest
+    // pair BECAUSE std::map iterates keys in ascending order (the first
+    // max-count pair seen wins via the strict '>'), matching
+    // MergeLoopFast's explicit tie-break. NOTE for porters: with an
+    // unordered container this implicit tie-break disappears.
     std::pair<std::string, std::string> best;
     int64_t best_count = 0;
     for (auto& [pr, info] : pair_counts) {
-      if (info.count > best_count ||
-          (info.count == best_count && best_count > 0 && pr < best)) {
+      if (info.count > best_count) {
         std::string cat = pr.first + pr.second;
         if (static_cast<int>(cat.size()) > max_piece_len) continue;
         best = pr;

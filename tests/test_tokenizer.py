@@ -107,6 +107,33 @@ def test_unknown_char(mixed):
     assert mixed.unk_id() in ids
 
 
+def test_decode_buffer_retry_and_ndarray_input(mixed):
+    """r4 review regressions: (a) decode's buffer-retry path must return the
+    FULL re-decoded text, not a slice at the old capacity; (b) decode must
+    accept ndarray input — encode_batch (this module) returns ndarrays."""
+    # (a) blow past the 8-bytes/id estimate with the longest pieces in the
+    # vocab, repeated
+    lens = [(len(mixed.id_to_piece(i)), i) for i in range(20, 4000)]
+    long_id = max(lens)[1]
+    ids = [long_id] * 200
+    text = mixed.decode(ids)
+    assert text == mixed.id_to_piece(long_id).replace("▁", " ") * 200 \
+        or len(text) >= 200 * max(lens)[0] - 200  # charsmap variants
+    # (b) ndarray input, incl. feeding encode_batch's output straight back
+    row = mixed.encode_batch(["ACGTACGTACGT"])[0]
+    assert isinstance(row, np.ndarray)
+    assert mixed.decode(row) == mixed.decode(list(row))
+
+
+def test_control_pieces_not_text_matchable(mixed):
+    """Real sentencepiece only extracts USER_DEFINED pieces from raw text:
+    a literal '<s>' in input must tokenize as characters, not inject the
+    CONTROL id (r4 review); the USER_DEFINED tags keep matching."""
+    assert 1 not in mixed.encode("<s>") and 2 not in mixed.encode("</s>")
+    assert mixed.encode("<protein>MK<EOS>")[-1] == 3   # user_defined tags
+    assert mixed.is_control(1) and mixed.is_control(2)
+
+
 def test_trainer_roundtrip(tmp_path):
     rng = np.random.default_rng(2)
     sents = []
@@ -150,16 +177,22 @@ def test_fast_trainer_matches_naive(tmp_path):
         sents.append("<PEP>" + "".join(rng.choice(
             list("ACDEFGHIKLMNPQRSTVWY"),
             size=int(rng.integers(10, 50)))) + "<EOS>")
-    kw = dict(vocab_size=420, user_defined=["<PEP>", "<DNA>"],
-              control=["<EOS>"], max_piece_len=8)
+    # <EOS> is USER_DEFINED, as in the reference .model files (piece type 4
+    # there); CONTROL symbols are not text-matchable, per real sentencepiece
+    kw = dict(vocab_size=420, user_defined=["<PEP>", "<DNA>", "<EOS>"],
+              control=["<CTL>"], max_piece_len=8)
     fast = str(tmp_path / "fast.model")
     naive = str(tmp_path / "naive.model")
     train_bpe(sents, out_path=fast, **kw)
     train_bpe(sents, out_path=naive, naive=True, **kw)
     with open(fast, "rb") as f, open(naive, "rb") as g:
         assert f.read() == g.read()
-    # and the trained model is loadable + roundtrips (control pieces are
-    # dropped by decode, per sentencepiece semantics)
     sp = SentencePieceProcessor(fast)
-    assert sp.decode(sp.encode("<PEP>MKVLAW<EOS>")) == "<PEP>MKVLAW"
+    assert sp.decode(sp.encode("<PEP>MKVLAW<EOS>")) == "<PEP>MKVLAW<EOS>"
     assert sp.decode(sp.encode("ACGTACGT")) == "ACGTACGT"
+    # CONTROL pieces exist in the vocab but are NOT extracted from raw
+    # text (sentencepiece semantics; matching them would let plain text
+    # inject control ids — r4 review)
+    ctl = sp.piece_to_id("<CTL>")
+    assert ctl >= 0 and sp.is_control(ctl)
+    assert ctl not in sp.encode("<CTL>")
