@@ -47,6 +47,11 @@ class Encoder:
         (67 vs 102 TF/s) — the K=128 score dots are latency-bound, so the
         int8 MXU's 2x rate never materialises while the in-kernel
         quantization adds VPU work. Kept for shapes/chips where it wins."""
+        if quantize_attention and not quantize:
+            raise ValueError(
+                "quantize_attention=True requires quantize=True (the int8 "
+                "attention kernel consumes the quantized weight format); "
+                "it was previously ignored silently (r4 review)")
         if quantize:
             from .ops.quant import quantize_for_inference
             params = quantize_for_inference(params, cfg)
@@ -76,7 +81,13 @@ class Encoder:
         params, cfg = load_model_checkpoint(path)
         sp = (SentencePieceProcessor(tokenizer_path) if tokenizer_path
               else load_reference(tokenizer))
-        banned = [BANNED_TOKEN[tokenizer]] if tokenizer in BANNED_TOKEN else []
+        # the banned-id table describes the REFERENCE tokenizers only: in a
+        # custom vocab (tokenizer_path) that id may be a legitimate piece,
+        # and stripping it would silently corrupt every token stream
+        # (r4 review)
+        banned = ([BANNED_TOKEN[tokenizer]]
+                  if tokenizer_path is None and tokenizer in BANNED_TOKEN
+                  else [])
         return cls(params, cfg, sp, banned, quantize=quantize,
                    mesh=mesh)
 
@@ -120,6 +131,14 @@ class Encoder:
         out of attention and pooling (the reference's bare encode() lets
         padding leak into the statistics, model.py:256-278); set False for
         bit-faithful reference behaviour."""
+        if method not in ("mean", "first", "last", "max"):
+            # 'all' (per-position embeddings) can't concatenate across
+            # bucketed chunks; an unknown string previously fell through
+            # the masked path to full (B, T, D) output (r4 review)
+            raise ValueError(
+                f"unknown pooling {method!r}: encode_sequences supports "
+                "mean/first/last/max (for per-position embeddings call "
+                "obt.encode(params, cfg, tokens, 'all') directly)")
         toks = tokenize_sequences(self.sp, sequences,
                                   banned_tokens=self.banned)
         fn = self._encode_fn(method, mask_padding)
@@ -208,7 +227,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                          "(<protein>/<DNA>), matching pretraining corpus "
                          "tagging")
     ap.add_argument("--tokenizer", default="mixed",
-                    help="reference tokenizer name (mixed/protein/"
+                    help="reference tokenizer name (mixed/peptide/"
                          "nucleotide) when --tokenizer-path is not given")
     ap.add_argument("--tokenizer-path", default=None,
                     help="explicit .model file (e.g. a CLI-trained vocab)")

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import OmniBioTAConfig
 from ..ops.attention import attention
-from .rope import rope_tables, deinterleave_perm
+from .rope import rope_tables, qkv_col_perm
 
 
 # --------------------------------------------------------------------------
@@ -218,8 +218,7 @@ def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
     wqkv = bp["attn"]["wqkv"]
     bqkv = bp["attn"].get("bqkv")
     if not cfg.qkv_prepermuted:
-        perm = deinterleave_perm(Dh)
-        col_perm = (np.arange(H)[:, None] * Dh + perm[None, :]).reshape(-1)
+        col_perm = qkv_col_perm(H, Dh)
         wq = jnp.take(wqkv[:, :D], col_perm, axis=1)
         wk = jnp.take(wqkv[:, D:2 * D], col_perm, axis=1)
         wqkv = jnp.concatenate([wq, wk, wqkv[:, 2 * D:]], axis=1)
@@ -243,7 +242,9 @@ def _block(cfg: OmniBioTAConfig, x, bp, cos, sin, segment_ids, rngs,
         q, k, v,
         scale=cfg.attn_scale,
         segment_ids=segment_ids,
-        causal=cfg.autoregressive and segment_ids is None,
+        # composed with the segment mask by the dense path; the kernel
+        # paths assert rather than silently run bidirectional (r4 review)
+        causal=cfg.autoregressive,
         dropout_rate=0.0 if deterministic else cfg.dropout,
         dropout_rng=attn_rng,
         impl=cfg.attn_impl,

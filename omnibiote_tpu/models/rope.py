@@ -46,6 +46,16 @@ def deinterleave_perm(head_dim: int):
                            np.arange(1, head_dim, 2)])
 
 
+def qkv_col_perm(n_head: int, head_dim: int):
+    """deinterleave_perm broadcast over every head's column block of a
+    fused (D, 3D) qkv projection — the single definition shared by the
+    model's on-the-fly permutation (models/omnibiota.py) and the
+    serving-time weight prepermutation (ops/quant.py), so the two layouts
+    can never drift (r4 review)."""
+    perm = deinterleave_perm(head_dim)
+    return (np.arange(n_head)[:, None] * head_dim + perm[None, :]).reshape(-1)
+
+
 def apply_rope_half(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
                     sin: jnp.ndarray):
     """Rotate-half RoPE on (B, T, H, Dh) whose head_dim is already in

@@ -71,8 +71,8 @@ def _fit_block(T: int, want: int) -> int:
     multiples of 128 (evals/common.py), which are not all multiples of the
     default 512/1024 block sizes.
     """
-    b = (min(want, T) // 128) * 128
-    while T % b:
+    b = max((min(want, T) // 128) * 128, 128)  # clamp: want < 128 would
+    while T % b:                               # otherwise divide by zero
         b -= 128
     return b
 
@@ -130,12 +130,19 @@ def attention(
         # globally-shaped arrays into the int8 kernel would silently
         # replicate compute (r3 ADVICE)
         # serving-only int8 kernel (ops/int8_attention.py): RoPE and the
-        # int8 quantization both happen in-kernel on VMEM-resident tiles
-        from .int8_attention import int8_flash_attention
-        return int8_flash_attention(q, k, v, scale=scale,
-                                    segment_ids=segment_ids,
-                                    block_q=_fit_block(T, block_q),
-                                    rope=rope)
+        # int8 quantization both happen in-kernel on VMEM-resident tiles.
+        # Guard the import like the bf16 flash branch: on hosts without
+        # the Pallas TPU backend fall through to the XLA path instead of
+        # crashing at dispatch (r4 review)
+        try:
+            from .int8_attention import int8_flash_attention
+        except ImportError:
+            int8_flash_attention = None
+        if int8_flash_attention is not None:
+            return int8_flash_attention(q, k, v, scale=scale,
+                                        segment_ids=segment_ids,
+                                        block_q=_fit_block(T, block_q),
+                                        rope=rope)
     if rope is not None and not take_flash:
         from ..models.rope import apply_rope_half
         q, k = apply_rope_half(q, k, rope[0], rope[1])
@@ -151,6 +158,10 @@ def attention(
     if impl == "ring":
         from .ring_attention import ring_attention
         assert ring_mesh is not None, "impl='ring' requires ring_mesh"
+        assert not causal, (
+            "ring attention has no causal support — running it would be "
+            "silently bidirectional; use impl='xla' for autoregressive "
+            "configs (r4 review)")
         return ring_attention(q, k, v, segment_ids, scale=scale,
                               mesh=ring_mesh, seq_axis=ring_axis,
                               batch_axis=ring_batch_axis,

@@ -65,6 +65,9 @@ def _fwd_scan(x, W, labels, n_chunks):
 def fused_cross_entropy(x, W, labels, n_chunks: int):
     """Per-row -log softmax(x @ W)[labels]; x: (..., D), W: (D, V),
     labels: (...) int32. n_chunks must divide V."""
+    assert W.shape[1] % n_chunks == 0, (
+        f"n_chunks={n_chunks} must divide V={W.shape[1]}: a remainder "
+        "would silently drop the vocab tail from the lse (wrong loss)")
     nll, _ = _fwd_scan(x, W, labels, n_chunks)
     return nll
 

@@ -69,12 +69,10 @@ def quantize_for_inference(params: dict, cfg) -> dict:
     de-interleave into wqkv's q/k column blocks. Embedding stays bf16 (a
     gather, not a matmul); norms/biases stay as they are. Use with
     cfg.replace(qkv_prepermuted=True)."""
-    from ..models.rope import deinterleave_perm
+    from ..models.rope import qkv_col_perm
 
     D = cfg.n_embd
-    perm = deinterleave_perm(cfg.head_dim)
-    col_perm = (np.arange(cfg.n_head)[:, None] * cfg.head_dim
-                + perm[None, :]).reshape(-1)
+    col_perm = qkv_col_perm(cfg.n_head, cfg.head_dim)
 
     def permute_qkv(w):
         # stacked blocks carry a leading layer dim
