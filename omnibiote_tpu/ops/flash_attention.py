@@ -17,9 +17,12 @@ Design (see /opt/skills/guides/pallas_guide.md and the flash-attention notes):
     using the saved logsumexp residual; di = sum(o * do) precomputed
 
 Numerics: softmax statistics in fp32; q/k/v may be bf16; output cast to the
-input dtype. The (uncommon) fully-masked row degenerates to zero output
-(reference behaviour for PAD rows differs — uniform attention — but those
-rows are never consumed; see ops/segments.py).
+input dtype. The (uncommon) fully-masked row yields UNIFORM attention
+(every score sits at the same mask value, so p = 1 everywhere and the
+output is the mean of V) — the same as the reference's PAD-row behaviour;
+downstream must keep excluding such rows (ops/segments.py). The l == 0
+zero-output guard in the kernels is defensive only: it cannot fire with
+the finite mask value.
 """
 from __future__ import annotations
 
@@ -32,7 +35,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-LANES = 128
 # A/B switch for the fused single-kv backward (bench ablations); the fused
 # kernel computes s/dp once (5 dots/tile) vs the split pair's 7.
 FUSED_SINGLE_KV_BWD = True
@@ -108,7 +110,7 @@ def _dropout_keep_w(shape, rate, seed_base, base_unique, w0, n_w_tot,
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, qseg_ref, kseg_ref,
                 o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
-                *, scale, block_q, block_kv, kv_len, dropout_rate):
+                *, scale, dropout_rate):
     kv_idx = pl.program_id(3)
     n_kv = pl.num_programs(3)
 
@@ -181,8 +183,7 @@ def _fwd(q, k, v, q_seg, kv_seg, seed, *, scale, block_q, block_kv,
         else seed.astype(jnp.int32).reshape(1)
 
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, block_q=block_q, block_kv=block_kv,
-        kv_len=Tk, dropout_rate=dropout_rate)
+        _fwd_kernel, scale=scale, dropout_rate=dropout_rate)
 
     out_shape = [
         jax.ShapeDtypeStruct((B, Tq, H * D), q.dtype),
@@ -1401,7 +1402,12 @@ def _mh_bwd(scale, block_q, block_kv, dropout_rate, use_rope, res, g,
         return dq, dk, dv, None, None, jnp.zeros_like(cos2), \
             jnp.zeros_like(sin2), None
     if not single_kv and FUSED_MULTIKV_BWD:
-        unit = H * D * 12   # 2 fp32 scratch + 2 bf16 out buffers per kv row
+        # per-kv-row VMEM: 2 fp32 scratch accumulators + 2 OUTPUT-dtype
+        # buffers (dk/dv match k's dtype — fp32 runs need 16 B/row, and the
+        # old bf16-hardcoded 12 B overclaimed eligibility near the limit,
+        # r4 review)
+        out_bytes = jnp.dtype(k.dtype).itemsize
+        unit = H * D * (8 + 2 * out_bytes)
         if Tk * unit <= FUSED_MULTIKV_MAX_BYTES:
             # multi-kv fused backward: 5 dots/tile with full-length VMEM
             # dk/dv accumulators

@@ -141,7 +141,11 @@ def int8_flash_attention(
                                    lambda b, qi, *_: (b, qi, 0)),
             out_shape=jax.ShapeDtypeStruct((B, T, H * D), q.dtype),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"),
+                # q axis is parallel: each grid step writes a disjoint o
+                # block with no cross-step scratch — 'arbitrary' would
+                # serialize T//block_q steps on one core when B is small
+                # after data sharding (r4 review)
+                dimension_semantics=("parallel", "parallel"),
                 vmem_limit_bytes=VMEM_LIMIT),
         )(*args)
     return o.reshape(B, T, H, D)

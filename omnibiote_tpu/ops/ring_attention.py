@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
+# one sentinel across kernels: _ring_body is the correctness oracle for
+# the flash body, so their masked-score magnitude must never drift apart
+from .flash_attention import DEFAULT_MASK_VALUE as NEG_BIG  # noqa: E402
 
 
 def _ring_body(q, k, v, q_seg, kv_seg, rng, *, scale, axis_name, ring_size,
@@ -125,7 +127,13 @@ def _ring_body_flash(q, k, v, q_seg, kv_seg, rng, *, scale, axis_name,
         # use_skip=True: rotations whose kv shard is entirely invisible to
         # a q block (common at long context — remote shards hold other
         # packed segments) skip those tiles' DMA and compute; the combine
-        # handles the resulting huge-negative lse like any masked block
+        # handles the resulting huge-negative lse like any masked block.
+        # CAVEAT (r4 review): when the local shard fits one kv block
+        # (Tl <= 1024) the kernel takes its single-kv fast path, which has
+        # no per-tile bounds — invisible rotations still compute their
+        # masked tiles there. Honest status: unmeasured on hardware which
+        # side wins at Tl <= 1024 (block pruning vs the single-kv fused
+        # layout); revisit with a device A/B before forcing multi-kv.
         o_i, lse_i = _flash_mh_lse(q, k_blk, v_blk, q_seg, kseg_blk,
                                    dummy, dummy, seed, scale, block_q,
                                    block_kv, float(dropout_rate), False,
