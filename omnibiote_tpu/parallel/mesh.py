@@ -31,13 +31,17 @@ SEQ_AXIS = "seq"     # sequence axis for dp x sp long-context meshes
 def make_mesh(mesh_shape: Optional[Tuple[int, ...]] = None,
               axis_names: Sequence[str] = (DATA_AXIS,),
               devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    # remember whether the CALLER fixed the device order before defaulting
+    # (jax.devices() returns a fresh list per call, so an identity check
+    # against a second call is always False — r4 review)
+    explicit_devices = devices is not None
+    devices = devices if explicit_devices else jax.devices()
     if mesh_shape is None:
         mesh_shape = (len(devices),)
         axis_names = (DATA_AXIS,)
     assert np.prod(mesh_shape) == len(devices), (
         f"mesh shape {mesh_shape} != {len(devices)} devices")
-    if (len(mesh_shape) > 1 and devices is jax.devices()
+    if (len(mesh_shape) > 1 and not explicit_devices
             and devices and devices[0].platform == "tpu"):
         # Multi-dim meshes on real hardware: mesh_utils maps mesh neighbors
         # onto ICI-neighbor chips (a naive reshape of the flat device list

@@ -34,7 +34,7 @@ uneven-M fallback keeps the replicate-and-mask form).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -103,13 +103,16 @@ def pp_mlm_loss(
     *,
     mask_prob: float = 0.15,
     deterministic: bool = False,
-    capacity_frac: float = 0.25,
+    capacity_frac: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Pipelined masked-LM loss over all M microbatches in one pass.
 
     Semantics match the accumulation loop (training/train.py): per-micro
     CE normalised by that micro's masked count, activity-weighted mean.
     """
+    if capacity_frac is None:
+        from ..training.mlm import _default_capacity_frac
+        capacity_frac = _default_capacity_frac(mask_prob)
     M, B, T = tokens.shape
     S = int(mesh.shape[STAGE_AXIS])
     n_data = int(dict(zip(mesh.axis_names, mesh.devices.shape))

@@ -90,17 +90,39 @@ def shard_params(params, mode: str, mesh: Mesh):
 
 
 def shard_opt_state_like(opt_state, params, specs, mesh: Mesh):
-    """Optimizer moments mirror their parameter's sharding; anything whose
-    shape doesn't match a parameter (counts, scalars) is replicated."""
+    """Optimizer moments mirror their parameter's sharding.
+
+    Subtrees whose structure equals the params tree (Adam's mu/nu) get
+    their specs POSITIONALLY — shape-keyed matching would give every
+    same-shaped parameter the FIRST one's spec, silently resharding the
+    others every step (r4 review). Leaves outside such subtrees (counts,
+    scalars, the clip transform's norm) fall back to shape lookup, then
+    replication."""
+    params_def = jax.tree.structure(params)
+    spec_list = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
     shape_to_spec = {}
-    for p_leaf, s in zip(jax.tree.leaves(params), jax.tree.leaves(
-            specs, is_leaf=lambda x: isinstance(x, P))):
+    for p_leaf, s in zip(jax.tree.leaves(params), spec_list):
         shape_to_spec.setdefault(tuple(p_leaf.shape), s)
 
-    def place(leaf):
-        if hasattr(leaf, "shape"):
-            s = shape_to_spec.get(tuple(leaf.shape), P())
-            return jax.device_put(leaf, NamedSharding(mesh, s))
-        return leaf
+    def put(leaf, s):
+        return jax.device_put(leaf, NamedSharding(mesh, s)) \
+            if hasattr(leaf, "shape") else leaf
 
-    return jax.tree.map(place, opt_state)
+    def is_params_like(node):
+        if hasattr(node, "shape"):
+            return False
+        try:
+            return jax.tree.structure(node) == params_def
+        except Exception:
+            return False
+
+    def place(node):
+        if is_params_like(node):
+            leaves, treedef = jax.tree.flatten(node)
+            return jax.tree.unflatten(
+                treedef, [put(l, s) for l, s in zip(leaves, spec_list)])
+        return jax.tree.map(
+            lambda l: put(l, shape_to_spec.get(
+                tuple(l.shape) if hasattr(l, "shape") else (), P())), node)
+
+    return jax.tree.map(place, opt_state, is_leaf=is_params_like)

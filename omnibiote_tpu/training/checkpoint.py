@@ -419,6 +419,14 @@ def restore_into_trainer(trainer, path: str) -> None:
     import jax.numpy as jnp
     from ..data.loader import ReaderState
 
+    # Stop the staged stream FIRST: its prefetch worker pulls batches
+    # through batch_iter and mutates the live ReaderStates — left running
+    # it would advance the positions this restore is about to assign
+    # (r4 review).
+    if trainer._staged is not None and hasattr(trainer._staged, "close"):
+        trainer._staged.close()
+    trainer._staged = None
+
     if os.path.exists(os.path.join(path, "params.npz")):
         # single-process (monolithic npz) format
         flat = load_pytree_flat(os.path.join(path, "params.npz"))
@@ -474,8 +482,6 @@ def restore_into_trainer(trainer, path: str) -> None:
     else:
         trainer.reader_states = restored
     trainer._reader_snapshots = {}
-    # invalidate any staged batches built for the pre-restore step counter
-    trainer._staged = None
     trainer._grand = trainer._grand_seg = None
     trainer._last_ckpt_path = path
 

@@ -29,6 +29,15 @@ from ..models.omnibiota import forward
 from ..ops.fused_ce import fused_cross_entropy, pick_chunks
 
 
+def _default_capacity_frac(mask_prob: float) -> float:
+    """Compaction capacity scaled to the mask rate: the historical fixed
+    0.25 was sized for the reference's p=0.15 (5/3 headroom over the mean
+    count) and silently DROPPED late-sequence masked positions once
+    mask_prob exceeded ~0.2 — a position-biased objective (r4 review).
+    The same headroom ratio is kept at every rate, capped at dense."""
+    return min(1.0, mask_prob * (0.25 / 0.15))
+
+
 def make_mlm_mask(rng: jax.Array, tokens: jnp.ndarray,
                   mask_prob: float = 0.15) -> jnp.ndarray:
     """Bernoulli(p) mask excluding PAD and EOS (train_encoder.py:276-278)."""
@@ -83,7 +92,7 @@ def mlm_loss(
     *,
     mask_prob: float = 0.15,
     deterministic: bool = False,
-    capacity_frac: float = 0.25,
+    capacity_frac: Optional[float] = None,
     ring_mesh=None,
     ring_axis: str = "data",
     ring_batch_axis=None,
@@ -96,6 +105,8 @@ def mlm_loss(
     reference's per-micro-batch normalisation, train_encoder.py:301-305) and
     aux carries masked_count and non-PAD token count for metrics.
     """
+    if capacity_frac is None:
+        capacity_frac = _default_capacity_frac(mask_prob)
     rng_mask, rng_drop = jax.random.split(rng)
     mask = make_mlm_mask(rng_mask, tokens, mask_prob)
     masked_ids = apply_mlm_mask(tokens, mask)

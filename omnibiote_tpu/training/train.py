@@ -17,6 +17,7 @@ TrainConfig.
 """
 from __future__ import annotations
 
+import functools
 import threading
 import time
 from typing import Optional, Tuple
@@ -34,6 +35,23 @@ from .optim import make_optimizer, scaled_lr, linear_decay
 # --------------------------------------------------------------------------
 # Step construction
 # --------------------------------------------------------------------------
+
+def _compute_copy(params, model_cfg):
+    """bf16 compute copy of the >=2D weights, cast ONCE per step.
+
+    Inside the accumulation scan the fp32->bf16 cast would re-read the
+    fp32 master weights every micro-step (XLA does not hoist the large
+    converts out of the loop body); casting before the scan halves the
+    per-micro weight traffic. Gradients flow to the bf16 copy and are
+    accumulated in fp32 — the master stays fp32 for the optimizer.
+    Shared by the dp and pp step builders (r4 review: was duplicated).
+    """
+    cdt = model_cfg.cdtype()
+    if jnp.dtype(cdt) == jnp.dtype(model_cfg.pdtype()):
+        return params
+    return jax.tree.map(
+        lambda p: p.astype(cdt) if p.ndim >= 2 else p, params)
+
 
 def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
                     optimizer, ring_mesh=None, ring_axis=None,
@@ -60,21 +78,8 @@ def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return loss, aux, grads
 
-    cdt = model_cfg.cdtype()
-
-    def compute_copy(params):
-        """bf16 compute copy of the >=2D weights, cast ONCE per step.
-
-        Inside the accumulation scan the fp32->bf16 cast would re-read the
-        fp32 master weights every micro-step (XLA does not hoist the large
-        converts out of the loop body); casting before the scan halves the
-        per-micro weight traffic. Gradients flow to the bf16 copy and are
-        accumulated in fp32 — the master stays fp32 for the optimizer.
-        """
-        if jnp.dtype(cdt) == jnp.dtype(model_cfg.pdtype()):
-            return params
-        return jax.tree.map(
-            lambda p: p.astype(cdt) if p.ndim >= 2 else p, params)
+    compute_copy = functools.partial(
+        _compute_copy, model_cfg=model_cfg)
 
     def train_step(params, opt_state, tokens, segments, micro_weights, rng,
                    step):
@@ -156,13 +161,8 @@ def make_pp_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
     the same rng (proven in tests/test_training.py)."""
     from ..parallel.pipeline import pp_mlm_loss
 
-    cdt = model_cfg.cdtype()
-
-    def compute_copy(params):
-        if jnp.dtype(cdt) == jnp.dtype(model_cfg.pdtype()):
-            return params
-        return jax.tree.map(
-            lambda p: p.astype(cdt) if p.ndim >= 2 else p, params)
+    compute_copy = functools.partial(
+        _compute_copy, model_cfg=model_cfg)
 
     def train_step(params, opt_state, tokens, segments, micro_weights, rng,
                    step):
@@ -197,15 +197,24 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(tree)))
 
 
-def make_eval_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig):
+def make_eval_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
+                   ring_mesh=None, ring_axis=None, ring_batch_axis=None,
+                   tp_mesh=None):
     """Validation-loss probe (train_encoder.py:371-410): same masked CE, no
-    dropout, no grads."""
+    dropout, no grads. The mesh threading mirrors make_train_step: without
+    it, an sp run's first validation probe would hit attention()'s
+    "impl='ring' requires ring_mesh" assert and kill training (r4 review).
+    """
     eval_cfg = model_cfg.replace(dropout=0.0)
 
     def eval_step(params, tokens, segments, rng):
         loss, aux = mlm_loss(params, eval_cfg, tokens, segments, rng,
                              mask_prob=train_cfg.mask_prob,
-                             deterministic=True)
+                             deterministic=True,
+                             ring_mesh=ring_mesh,
+                             ring_axis=ring_axis or train_cfg.dp_axis,
+                             ring_batch_axis=ring_batch_axis,
+                             tp_mesh=tp_mesh)
         return loss, aux["masked_count"]
 
     return eval_step
@@ -225,7 +234,10 @@ def effective_batch_size(step: int, total_iters: int, train_cfg: TrainConfig,
     mbs = global_micro or train_cfg.mini_batch_size
     if not train_cfg.batch_ramp:
         return bs
-    ramp = int(step / (total_iters * train_cfg.warmup_period) * bs)
+    denom = total_iters * train_cfg.warmup_period
+    if denom <= 0:   # warmup_period=0 / tiny budget: ramp already complete
+        return bs
+    ramp = int(step / denom * bs)
     eff = min((ramp // mbs) * mbs + mbs, bs)
     return (eff // mbs) * mbs
 
@@ -309,6 +321,12 @@ class Trainer:
         else:
             rng = jax.random.key(tc.seed, impl=tc.rng_impl)
         self.rng, init_key = jax.random.split(rng)
+        # dedicated validation-probe stream: eval_loss must not consume
+        # self.rng, or the TRAINING mask/dropout stream would depend on
+        # whether/when probes ran — breaking bit-exact resume whenever the
+        # probe cadence differs between runs (r4 review)
+        self._eval_rng = jax.random.fold_in(self.rng, 0x0E7A1)
+        self._eval_n = 0
         self.params = init_params(init_key, model_cfg)
         self.optimizer = make_optimizer(
             self.params, model_cfg, tc, self.total_iters)
@@ -363,6 +381,17 @@ class Trainer:
                                  and mesh_axes.get("model", 1) > 1
                                  and model_cfg.n_head % mesh_axes["model"] == 0)
                    else None)
+        if ("tp" in tc.sharding and mesh_axes.get("model", 1) > 1
+                and tp_mesh is None):
+            # refusing beats silently replicating: params would be
+            # column-sharded but attention would all-gather the full
+            # projections every layer (r4 review)
+            raise ValueError(
+                f"sharding={tc.sharding!r}: n_head={model_cfg.n_head} is "
+                f"not divisible by the model axis "
+                f"({mesh_axes['model']}); pick a head count or mesh_shape "
+                "whose model axis divides it")
+        ring_batch = None
         if tc.sharding in ("pp", "fsdp+pp"):
             step_fn = make_pp_train_step(model_cfg, tc, self.optimizer,
                                          self.mesh)
@@ -377,7 +406,9 @@ class Trainer:
                                       ring_batch_axis=ring_batch,
                                       tp_mesh=tp_mesh)
         self._train_step = jax.jit(step_fn, donate_argnums=(0, 1))
-        self._eval_step = jax.jit(make_eval_step(model_cfg, tc))
+        self._eval_step = jax.jit(make_eval_step(
+            model_cfg, tc, ring_mesh=ring_mesh, ring_axis=self.seq_axis,
+            ring_batch_axis=ring_batch, tp_mesh=tp_mesh))
 
     # -- data staging ------------------------------------------------------
 
@@ -576,6 +607,13 @@ class Trainer:
             if fetch:
                 loss = float(metrics["loss"])
                 self.trained_tokens = tok_base + int(tok_dev)
+                # fold into the host-side python int and reset the device
+                # accumulator: num_tokens is int32 (bool-sum), so letting
+                # tok_dev grow for the whole run would wrap at 2^31 tokens
+                # — far below the 20e9 default budget (r4 review). Between
+                # fetches it only accumulates log_every steps' worth.
+                tok_base = self.trained_tokens
+                tok_dev = None
                 now = time.time()
                 dtok = self.trained_tokens - last_fetch_tok
                 tps = dtok / max(now - last_fetch_t, 1e-9)
@@ -626,7 +664,9 @@ class Trainer:
     # -- eval probe --------------------------------------------------------
 
     def eval_loss(self, tokens: np.ndarray, segments: np.ndarray) -> float:
-        self.rng, k = jax.random.split(self.rng)
+        # own fold_in counter stream — never touches self.rng (see __init__)
+        k = jax.random.fold_in(self._eval_rng, self._eval_n)
+        self._eval_n += 1
         loss, _ = self._eval_step(
             self.params, jnp.asarray(tokens), jnp.asarray(segments), k)
         return float(loss)

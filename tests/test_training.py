@@ -353,6 +353,17 @@ def test_sp_long_context_8k():
     m = tr.train_step_once()
     assert np.isfinite(float(m["loss"]))
 
+    # validation probes must work under sp too: eval_step threads the ring
+    # mesh like the train step (r4 review: the probe hit attention()'s
+    # "impl='ring' requires ring_mesh" assert and killed sp runs), and
+    # eval_loss must not consume the TRAINING rng stream
+    rng_before = np.asarray(jax.random.key_data(tr.rng))
+    vb = next(synth_batches(2, 8192, seed=3))
+    vloss = tr.eval_loss(vb["tokens"], vb["segments"])
+    assert np.isfinite(vloss)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(tr.rng)), rng_before)
+
 
 def test_pp_pipeline_matches_dp():
     """Pipeline parallelism (GPipe schedule over a 'stage' mesh axis):
