@@ -94,6 +94,32 @@ def test_batch_ramp_schedule():
     # no ramp: always full
     tc2 = tc.replace(batch_ramp=False)
     assert effective_batch_size(0, 100, tc2, 8) == 64
+    # degenerate ramp windows are 'ramp complete', not ZeroDivisionError
+    # (r4 review): warmup_period=0 and total_iters=0 both say full batch
+    assert effective_batch_size(0, 100, tc.replace(warmup_period=0.0),
+                                8) == 64
+    assert effective_batch_size(0, 0, tc, 8) == 64
+
+
+def test_opt_state_specs_positional_not_shape_keyed():
+    """shard_opt_state_like must give each Adam moment ITS parameter's
+    spec: shape-keyed matching handed every same-shaped parameter the
+    first one's spec (r4 review)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from omnibiote_tpu.parallel.mesh import make_mesh
+    from omnibiote_tpu.parallel.sharding import shard_opt_state_like
+
+    mesh = make_mesh((4, 2), axis_names=("data", "model"))
+    params = {"a": jnp.zeros((8, 8)), "b": jnp.zeros((8, 8))}
+    specs = {"a": P("data", None), "b": P(None, "model")}
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    placed = shard_opt_state_like(opt_state, params, specs, mesh)
+    mu = placed[0].mu
+    assert mu["a"].sharding == NamedSharding(mesh, P("data", None))
+    assert mu["b"].sharding == NamedSharding(mesh, P(None, "model")), (
+        "same-shaped param got the first param's spec")
 
 
 @pytest.fixture(scope="module")
