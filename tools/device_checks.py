@@ -52,10 +52,18 @@ def _flush(partial):
     return out
 
 
+def _py(v):
+    """JSON-safe scalar: numpy float32/int64 etc. crash json.dump."""
+    if isinstance(v, (float, np.floating)):
+        return round(float(v), 6)
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    return v
+
+
 def record(name, ok, **metrics):
     RESULTS.append({"name": name, "pass": bool(ok),
-                    **{k: (round(v, 6) if isinstance(v, float) else v)
-                       for k, v in metrics.items()}})
+                    **{k: _py(v) for k, v in metrics.items()}})
     print(f"{'PASS' if ok else 'FAIL'} {name} {metrics}", flush=True)
     _flush(partial=True)
 
