@@ -47,6 +47,9 @@ def main():
                          "effect jax.checkpoint rejects; compiled TPU "
                          "kernels have no such effect)")
     ap.add_argument("--label", default="")
+    ap.add_argument("--sync", type=int, default=0,
+                    help="block_until_ready + print wall time per step "
+                         "(diagnosing per-step overhead distribution)")
     args = ap.parse_args()
 
     import jax
@@ -96,10 +99,23 @@ def main():
     compile_s = time.time() - t_init
 
     t0 = time.time()
-    for _ in range(args.steps):
-        m = trainer.train_step_once()
-    loss = float(m["loss"])  # single sync at the end
-    dt = time.time() - t0
+    if args.sync:
+        dt = 0.0
+        for i in range(args.steps):
+            ti = time.time()
+            m = trainer.train_step_once()
+            td = time.time()
+            float(m["loss"])
+            tf = time.time()
+            print(f"step {i}: dispatch {td - ti:.3f}s, "
+                  f"sync {tf - ti:.3f}s", flush=True)
+            dt += tf - ti
+        loss = float(m["loss"])
+    else:
+        for _ in range(args.steps):
+            m = trainer.train_step_once()
+        loss = float(m["loss"])  # single sync at the end
+        dt = time.time() - t0
     tokens = args.steps * batch * args.ctx
 
     tps = tokens / dt
@@ -113,6 +129,20 @@ def main():
     # formula-independent utilization that lets rows be compared fairly.
     head = args.embd * (2 ** 16)
     fpt_exec = fpt - 6.0 * head * (1.0 - 0.25)
+    # Peak HBM (when the runtime exposes it): the decisive number for the
+    # accumulation-scan rows — demand above the 16 GB chip turns into host
+    # spilling through the relay, which shows up as a 3-10x step slowdown
+    # long before an OOM.
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak_gb = stats.get("peak_bytes_in_use", 0) / 2 ** 30
+    except Exception:
+        peak_gb = 0.0
+    # Persistent device residency (params, opt state, staged batches):
+    # memory_stats() is unavailable through the axon relay, but live
+    # jax.Arrays are countable from the host and bound the resident
+    # baseline the step's transients stack on top of.
+    live_gb = sum(x.nbytes for x in jax.live_arrays()) / 2 ** 30
     print(json.dumps({
         "label": args.label or f"{args.layers}L/{args.embd}d/{args.heads}h",
         "params_non_emb": n_body,
@@ -126,6 +156,8 @@ def main():
         "flops_ratio_e": round(fpt_exec / fpt, 4),
         "step_s": round(dt / args.steps, 3),
         "warmup_s": round(compile_s, 1),
+        "peak_hbm_gb": round(peak_gb, 2),
+        "live_gb": round(live_gb, 2),
         "loss": round(loss, 4),
     }))
     trainer.close()
