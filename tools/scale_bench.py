@@ -31,12 +31,18 @@ REPO = os.path.dirname(HERE)
 ROWS = [
     dict(label="ref-default-12L-1024d-ctx2048-gb1024",
          # global batch 1024 = the reference's training default
-         # (train_encoder.py:439-445); mini 8 keeps ~16k tokens per micro
+         # (train_encoder.py:439-445); mini 8 keeps ~16k tokens per micro.
+         # --sync 1 on the accumulation-scan rows: the axon relay
+         # serializes QUEUED async executions of large programs
+         # pathologically (measured 21.4s/step synced vs 44.7s unsynced at
+         # this exact config; mid: 2.5s vs 18.4s) — per-step sync is the
+         # honest timing (wall includes one relay RTT per step; on real
+         # hardware async dispatch only ever overlaps MORE).
          args="--layers 12 --embd 1024 --heads 8 --ctx 2048 "
-              "--mini 8 --accum 128 --steps 2 --warmup 1"),
+              "--mini 8 --accum 128 --steps 3 --warmup 2 --sync 1"),
     dict(label="mid-541M-12L-1536d-ctx1024",
          args="--layers 12 --embd 1536 --heads 12 --ctx 1024 "
-              "--mini 8 --accum 16 --steps 4 --warmup 1"),
+              "--mini 8 --accum 16 --steps 4 --warmup 2 --sync 1"),
     dict(label="big-1.07B-16L-2048d-ctx1024",
          args="--layers 16 --embd 2048 --heads 16 --ctx 1024 "
               "--mini 8 --accum 1 --steps 6 --warmup 2 "
