@@ -72,3 +72,23 @@ def claims():
     yield ("encode int8 seqs/sec (BENCH_r03 detail)",
            r"\*\*([\d.]+)\*\* with int8 projections",
            f"{r03['detail']['encode_seqs_per_sec_ctx1024_int8']:g}")
+    scale = {row["label"].split("-")[0]: row
+             for row in _artifact("BENCH_SCALE.json")["rows"]}
+    yield ("ref-default tokens/sec (BENCH_SCALE)",
+           r"global batch 1024 \| ([\d.]+k) tok/s",
+           _fmt_k1(scale["ref"]["tokens_per_sec"]))
+    yield ("ref-default MFU (BENCH_SCALE)",
+           r"global batch 1024 \| [\d.]+k tok/s, \*\*([\d.]+)%\*\* MFU",
+           _fmt_pct1(scale["ref"]["mfu"]))
+    yield ("541M tokens/sec (BENCH_SCALE)",
+           r"\| 541M \(12L/1536d\) \| ([\d.]+k) tok/s",
+           _fmt_k1(scale["mid"]["tokens_per_sec"]))
+    yield ("541M MFU (BENCH_SCALE)",
+           r"\| 541M \(12L/1536d\) \| [\d.]+k tok/s, \*\*([\d.]+)%\*\* MFU",
+           _fmt_pct1(scale["mid"]["mfu"]))
+    yield ("1.07B tokens/sec (BENCH_SCALE)",
+           r"16 GB chip \| ([\d.]+k) tok/s",
+           _fmt_k1(scale["big"]["tokens_per_sec"]))
+    yield ("1.07B MFU (BENCH_SCALE)",
+           r"16 GB chip \| [\d.]+k tok/s, \*\*([\d.]+)%\*\* MFU",
+           _fmt_pct1(scale["big"]["mfu"]))
