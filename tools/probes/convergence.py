@@ -8,10 +8,14 @@ searchsorted compaction, bits dropout) end-to-end: loss must fall hard.
 import gzip
 import json
 import os
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 
 
 def build_structured_corpus(root, n_docs=4000, seed=0):
