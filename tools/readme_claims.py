@@ -92,3 +92,10 @@ def claims():
     yield ("1.07B MFU (BENCH_SCALE)",
            r"16 GB chip \| [\d.]+k tok/s, \*\*([\d.]+)%\*\* MFU",
            _fmt_pct1(scale["big"]["mfu"]))
+    conv = _artifact("CONVERGENCE.json")
+    yield ("convergence first loss (CONVERGENCE)",
+           r"val probes\) \| loss ([\d.]+) →",
+           f"{conv['first_loss']:.4f}")
+    yield ("convergence final loss (CONVERGENCE)",
+           r"val probes\) \| loss [\d.]+ → ([\d.]+) \(CONVERGENCE\.json\)",
+           f"{conv['final_loss']:.4f}")
