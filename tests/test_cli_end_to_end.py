@@ -195,3 +195,19 @@ def test_cli_memory_levers_and_gelu(corpus_dir, tmp_path):
     recs = [json.loads(l) for l in open(metrics_path)]
     losses = [r["loss"] for r in recs if "loss" in r]
     assert len(losses) == 4 and all(np.isfinite(l) for l in losses)
+
+
+def test_pyproject_console_scripts_resolve():
+    """Every [project.scripts] entry in pyproject.toml must resolve to a
+    real callable, so a pip install can't ship broken launchers."""
+    import importlib
+    import tomllib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert scripts, "no console scripts declared"
+    for name, target in scripts.items():
+        mod_name, func_name = target.split(":")
+        fn = getattr(importlib.import_module(mod_name), func_name)
+        assert callable(fn), f"{name} -> {target} is not callable"
