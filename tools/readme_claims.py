@@ -58,7 +58,7 @@ def claims():
     yield ("production MFU (BENCH_PROD)",
            r"\| [\d,]+ tok/s \(([\d.]+)% MFU, BENCH_PROD\.json\)",
            _fmt_pct1(prod["detail"]["mfu"]))
-    for ctx in (2048, 4096, 8192):
+    for ctx in (2048, 4096, 8192, 16384):
         row = lctx[ctx]
         yield (f"ctx-{ctx} tokens/sec (BENCH_LONGCTX)",
                rf"ctx {ctx}: ([\d.]+k)(?: tok/s)? \(",
