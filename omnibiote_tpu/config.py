@@ -92,14 +92,15 @@ class OmniBioTAConfig:
     qkv_prepermuted: bool = False
 
     # GELU implementation. The reference's activation is the exact erf GELU
-    # with a truncated sqrt(2) constant (model.py:23-25); XLA lowers erf to a
-    # branchy two-regime rational (plus an exp in the backward's pdf) that
-    # costs ~5% of the train step on a v5e. 'fast' evaluates an odd
-    # degree-7-in-x^2 polynomial fit of the SAME function (max |err| 1.3e-4
-    # over the clamped [-4, 4] support — an order below bf16's ~4e-3
+    # with a truncated sqrt(2) constant (model.py:23-25). 'fast' evaluates
+    # an odd degree-7-in-x^2 polynomial fit of the SAME function (max |err|
+    # 1.3e-4 over the clamped [-4, 4] support — an order below bf16's ~4e-3
     # resolution at |x|~1) whose autodiff backward is polynomial too (no
-    # exp). 'auto' = 'fast' under bfloat16 compute, exact 'erf' under fp32,
-    # so every fp32 parity path keeps the reference bit-behaviour.
+    # exp). On-chip A/Bs at the production config measured 'fast' no faster
+    # than 'erf' (141.1k vs 141.5k tok/s — the erf VPU work hides behind the
+    # MXU at these shapes), so 'auto' = exact 'erf': reference bit-behaviour
+    # everywhere, with 'fast' kept for genuinely VPU-bound configs
+    # (DESIGN.md §6).
     gelu: str = "auto"
 
     # Inference-only: run attention itself in int8 (ops/int8_attention.py —

@@ -172,9 +172,14 @@ def _gelu_fast(x):
 
 
 def _gelu(x, cfg):
+    # 'auto' resolves to the exact erf activation: on-chip A/Bs at the
+    # production config measured the polynomial no faster (erf 141.5k vs
+    # fast 141.1k tok/s, tools/probes/gelubench.py; both headline bench.py
+    # A/Bs agree) — the erf VPU cost hides behind the MXU at these shapes.
+    # 'fast' stays available for VPU-bound configs (DESIGN.md §6).
     mode = cfg.gelu
     if mode == "auto":
-        mode = "fast" if cfg.compute_dtype == "bfloat16" else "erf"
+        mode = "erf"
     return _gelu_fast(x) if mode == "fast" else _gelu_erf(x)
 
 

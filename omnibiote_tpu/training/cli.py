@@ -100,8 +100,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="rematerialisation policy when --checkpoint_freq>0")
     p.add_argument("--gelu", type=str, default="auto",
                    choices=["auto", "fast", "erf"],
-                   help="GELU implementation: 'auto' = polynomial under "
-                        "bf16 compute, exact erf under fp32")
+                   help="GELU implementation: 'auto' = exact erf (measured "
+                        "no slower than the polynomial on-chip); 'fast' = "
+                        "degree-7 polynomial for VPU-bound configs")
     return p
 
 

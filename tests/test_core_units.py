@@ -309,7 +309,8 @@ def test_int8_quantization_with_biases():
 def test_fast_gelu_matches_erf_gelu():
     """cfg.gelu='fast' (polynomial) vs the exact erf activation: value to
     1.3e-4 abs, autodiff derivative to 3e-3 abs (clamp seam), and the 'auto'
-    policy resolves fast<->bf16 / erf<->fp32 (config.py gelu field)."""
+    policy resolves to exact erf under every compute dtype (config.py gelu
+    field: on-chip A/Bs measured the polynomial no faster)."""
     from omnibiote_tpu.models.omnibiota import _gelu_erf, _gelu_fast, _gelu
 
     x = jnp.asarray(np.linspace(-8.0, 8.0, 40001), jnp.float32)
@@ -345,7 +346,9 @@ def test_fast_gelu_matches_erf_gelu():
     cfg32 = OmniBioTAConfig(gelu="auto", compute_dtype="float32")
     cfgbf = OmniBioTAConfig(gelu="auto", compute_dtype="bfloat16")
     assert np.array_equal(np.asarray(_gelu(x, cfg32)), exact)
-    assert np.array_equal(np.asarray(_gelu(x, cfgbf)), fast)
+    assert np.array_equal(np.asarray(_gelu(x, cfgbf)), exact)
+    cfgfast = OmniBioTAConfig(gelu="fast", compute_dtype="bfloat16")
+    assert np.array_equal(np.asarray(_gelu(x, cfgfast)), fast)
 
 
 def test_fast_gelu_forward_close_to_erf_forward():
