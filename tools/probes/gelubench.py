@@ -1,6 +1,11 @@
 """A/B: exact erf-GELU vs the degree-7 polynomial (cfg.gelu) on the
 training step — the ~5% erf cost identified in DESIGN.md §6.
 
+Outcome (2026-08-19, v5e, 24 steps): erf 141,533 vs fast 141,106 tok/s —
+the polynomial is NOT faster at the production config (the erf VPU work
+hides behind the MXU-bound dots), so 'auto' resolves to exact erf and
+'fast' is an opt-in for VPU-bound configs. See DESIGN.md §6.
+
 Run on the TPU: python tools/probes/gelubench.py
 """
 import os
