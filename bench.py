@@ -71,6 +71,11 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    # Persistent XLA compile cache: a cold run through the remote-compile
+    # relay pays minutes of compile; a warm one, seconds (r4 VERDICT weak #3).
+    from omnibiote_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
 
     import omnibiote_tpu as obt

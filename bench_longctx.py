@@ -15,6 +15,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def run_ctx(ctx: int, mini: int, accum: int):
+    from omnibiote_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax
 
     import omnibiote_tpu as obt

@@ -39,6 +39,8 @@ def build_corpus(root: str, n_docs: int = 3000, seed: int = 0):
 
 
 def main():
+    from omnibiote_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax
 
     import omnibiote_tpu as obt

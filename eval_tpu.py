@@ -170,6 +170,8 @@ def _subset_pronab(src, dst, n_proteins=40, seed=4):
 def main():
     import tempfile
 
+    from omnibiote_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax
 
     platform = jax.devices()[0].platform

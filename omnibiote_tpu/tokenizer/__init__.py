@@ -23,24 +23,49 @@ _SO_PATH = os.path.join(_CPP_DIR, "build", "libobtspm.so")
 REFERENCE_TOKENIZER_DIR = "/root/reference/tokenizers"
 
 
+def _so_candidates():
+    """Build locations in preference order: next to the sources (fast,
+    shared across users of one checkout), then a user-writable cache —
+    a system-wide `pip install .` puts the package under a root-owned
+    site-packages where the first candidate is not writable (r4 ADVICE)."""
+    yield _SO_PATH
+    cache = os.environ.get("OBT_TOKENIZER_BUILD_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "omnibiote_tpu", "tokenizer")
+    yield os.path.join(cache, "libobtspm.so")
+    import tempfile
+    yield os.path.join(tempfile.gettempdir(),
+                       f"omnibiote_tpu-{os.getuid()}", "libobtspm.so")
+
+
 def _build_library() -> str:
-    os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
     srcs = [os.path.join(_CPP_DIR, "spm.cc"), os.path.join(_CPP_DIR, "capi.cc"),
             os.path.join(_CPP_DIR, "packer.cc")]
     newest_src = max(os.path.getmtime(s) for s in srcs)
-    if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) > newest_src:
-        return _SO_PATH
-    # compile to a per-process temp name and publish atomically: concurrent
-    # importers (multiprocess loaders, multi-host startup on a shared FS)
-    # must never CDLL a half-written .so (r4 review)
-    tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
-    cmd = [
-        "g++", "-std=c++20", "-O2", "-fPIC", "-shared", "-pthread",
-        "-o", tmp, *srcs,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
-    os.replace(tmp, _SO_PATH)
-    return _SO_PATH
+    errors = []
+    for so_path in _so_candidates():
+        if os.path.exists(so_path) and os.path.getmtime(so_path) > newest_src:
+            return so_path
+        try:
+            os.makedirs(os.path.dirname(so_path), exist_ok=True)
+            # compile to a per-process temp name and publish atomically:
+            # concurrent importers (multiprocess loaders, multi-host startup
+            # on a shared FS) must never CDLL a half-written .so (r4 review)
+            tmp = f"{so_path}.{os.getpid()}.tmp"
+            cmd = [
+                "g++", "-std=c++20", "-O2", "-fPIC", "-shared", "-pthread",
+                "-o", tmp, *srcs,
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            os.replace(tmp, so_path)
+            return so_path
+        except (OSError, subprocess.CalledProcessError) as e:
+            # read-only/root-owned package dir: fall through to the next
+            # user-writable candidate; a compiler error repeats identically
+            # everywhere, so surface the first one if all candidates fail
+            errors.append((so_path, e))
+    raise RuntimeError(
+        "could not build the tokenizer C++ core in any candidate dir: "
+        + "; ".join(f"{p}: {e}" for p, e in errors))
 
 
 _lib = None

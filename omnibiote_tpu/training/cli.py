@@ -107,6 +107,12 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    # persistent XLA compile cache: repeated launches of the same config
+    # skip minutes of XLA compile (env-overridable via OBT_COMPILE_CACHE;
+    # set OBT_COMPILE_CACHE=0 to disable)
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     import jax
 
     args = build_argparser().parse_args(argv)

@@ -201,7 +201,9 @@ def test_pyproject_console_scripts_resolve():
     """Every [project.scripts] entry in pyproject.toml must resolve to a
     real callable, so a pip install can't ship broken launchers."""
     import importlib
-    import tomllib
+
+    # tomllib is 3.11+; pyproject declares requires-python >=3.10 (r4 ADVICE)
+    tomllib = pytest.importorskip("tomllib")
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "pyproject.toml"), "rb") as f:

@@ -42,6 +42,8 @@ def build_structured_corpus(root, n_docs=4000, seed=0):
 
 
 def main():
+    from omnibiote_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax
 
     import omnibiote_tpu as obt
@@ -104,6 +106,11 @@ def main():
     # (tokenize -> shards -> pack -> mixture -> prefetch -> flash MLM)
     # actually LEARNS on the device, not just runs.
     out = os.environ.get("CONVERGENCE_JSON")
+    if out and not train_recs:
+        # relay death mid-run can leave zero loss records; report cleanly
+        # instead of crashing after the (partial) training (r4 ADVICE)
+        print(f"ERROR: no loss records captured — not writing {out}")
+        sys.exit(1)
     if out:
         curve = [{"step": r["step"], "loss": round(float(r["loss"]), 4)}
                  for r in train_recs[:: max(1, len(train_recs) // 20)]]

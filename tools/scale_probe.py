@@ -52,6 +52,8 @@ def main():
                          "(diagnosing per-step overhead distribution)")
     args = ap.parse_args()
 
+    from omnibiote_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax
     # CPU smoke escape hatch: the session sitecustomize force-selects the
     # axon TPU platform via jax.config (env JAX_PLATFORMS alone is
@@ -108,7 +110,7 @@ def main():
             float(m["loss"])
             tf = time.time()
             print(f"step {i}: dispatch {td - ti:.3f}s, "
-                  f"sync {tf - ti:.3f}s", flush=True)
+                  f"sync {tf - td:.3f}s, total {tf - ti:.3f}s", flush=True)
             dt += tf - ti
         loss = float(m["loss"])
     else:
