@@ -81,7 +81,8 @@ def main():
     import omnibiote_tpu as obt
     from omnibiote_tpu.config import TrainConfig
     from omnibiote_tpu.training.train import Trainer
-    from omnibiote_tpu.training.metrics import flops_per_token, mfu
+    from omnibiote_tpu.training.metrics import (
+        flops_per_token, flops_per_token_executed, mfu)
     from omnibiote_tpu.models.omnibiota import num_params
     from omnibiote_tpu.ops.segments import segment_ids_np
 
@@ -173,6 +174,19 @@ def main():
     n_body = num_params(trainer.params, non_embedding=True)
     fpt = flops_per_token(n_body, model_cfg.n_layer, model_cfg.n_embd, ctx)
     achieved_mfu = mfu(tps, fpt, n_chips=n_dev, generation=gen)
+    # dual reporting (r4 VERDICT #2): `mfu` uses the reference's nominal
+    # formula (comparable to the reference's own telemetry); mfu_executed
+    # counts only FLOPs actually launched — the compacted MLM head and the
+    # segment-skipped attention tiles of THIS batch distribution (3 EOS/row)
+    # are not credited. metrics.flops_per_token_executed documents the rules.
+    s_rng = np.random.default_rng(1234)
+    s_toks = s_rng.integers(20, 65000, size=(batch, ctx)).astype(np.int32)
+    for r in range(batch):
+        s_toks[r, s_rng.integers(32, ctx, size=3)] = obt.EOS_TOKEN
+    fpt_exec = flops_per_token_executed(
+        n_body, model_cfg.n_layer, model_cfg.n_embd, ctx,
+        segments=segment_ids_np(s_toks))
+    mfu_exec = mfu(tps, fpt_exec, n_chips=n_dev, generation=gen)
 
     # the headline number is now safe: if a serving probe hangs, the
     # watchdog emits this instead of nothing
@@ -181,7 +195,10 @@ def main():
         "value": round(tps_chip, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(achieved_mfu / 0.50, 4),
-        "detail": {"mfu": round(achieved_mfu, 4), "platform": platform,
+        "detail": {"mfu": round(achieved_mfu, 4),
+                   "mfu_executed": round(mfu_exec, 4),
+                   "flops_ratio_e": round(fpt_exec / fpt, 4),
+                   "platform": platform,
                    "tpu_gen": gen, "n_devices": n_dev, "gelu": gelu_policy,
                    "gelu_ab_tokens_per_sec": gelu_ab, "global_batch": batch,
                    "steps": steps, "flops_per_token": fpt,
@@ -229,6 +246,8 @@ def main():
         "vs_baseline": round(achieved_mfu / 0.50, 4),
         "detail": {
             "mfu": round(achieved_mfu, 4),
+            "mfu_executed": round(mfu_exec, 4),
+            "flops_ratio_e": round(fpt_exec / fpt, 4),
             "encode_seqs_per_sec_ctx1024": round(enc_sps, 1),
             "encode_seqs_per_sec_ctx1024_int8": round(enc_sps_int8, 1),
             "int8_vs_bf16_cosine": round(int8_cos, 5),

@@ -56,12 +56,26 @@ def run_ctx(ctx: int, mini: int, accum: int):
     float(m["loss"])
     dt = time.time() - t0
     tokens = steps * batch * ctx
-    fpt = flops_per_token(num_params(trainer.params, True),
-                          model_cfg.n_layer, model_cfg.n_embd, ctx)
+    n_body = num_params(trainer.params, True)
+    fpt = flops_per_token(n_body, model_cfg.n_layer, model_cfg.n_embd, ctx)
+    # dual MFU (r4 VERDICT #2): mfu_executed does not credit the compacted
+    # LM head or the attention tiles segment-skip prunes for THIS batch
+    # distribution (5 EOS/row -> ~6 segments; at long ctx most cross-segment
+    # tiles are skipped, which is the point of the kernel)
+    from omnibiote_tpu.training.metrics import flops_per_token_executed
+    s_rng = np.random.default_rng(1234)
+    s_toks = s_rng.integers(20, 65000, size=(batch, ctx)).astype(np.int32)
+    for r in range(batch):
+        s_toks[r, s_rng.integers(32, ctx, size=5)] = obt.EOS_TOKEN
+    fpt_exec = flops_per_token_executed(
+        n_body, model_cfg.n_layer, model_cfg.n_embd, ctx,
+        segments=segment_ids_np(s_toks))
     return {
         "ctx": ctx,
         "tokens_per_sec_chip": round(tokens / dt / n_dev, 1),
         "mfu": round(mfu(tokens / dt, fpt, n_dev, gen), 4),
+        "mfu_executed": round(mfu(tokens / dt, fpt_exec, n_dev, gen), 4),
+        "flops_ratio_e": round(fpt_exec / fpt, 4),
         "global_batch": batch,
         "mini_batch": mini,
     }

@@ -101,8 +101,19 @@ def main():
         tokens = steps * batch * ctx
         tps_chip = tokens / dt / n_dev
 
-        fpt = flops_per_token(num_params(trainer.params, True),
+        n_body = num_params(trainer.params, True)
+        fpt = flops_per_token(n_body,
                               model_cfg.n_layer, model_cfg.n_embd, ctx)
+        # dual MFU (r4 VERDICT #2): executed fraction measured on a REAL
+        # packed batch's segment ids (a fresh pipeline with the same seed
+        # reproduces the training stream's first batch)
+        from omnibiote_tpu.training.metrics import flops_per_token_executed
+        probe_iter, _ = build_pipeline(
+            root, ["genbank/train", "uniref100/train"], [0.8, 0.2],
+            batch_size=batch, ctx_len=ctx, banned_tokens=[65533], seed=0)
+        fpt_exec = flops_per_token_executed(
+            n_body, model_cfg.n_layer, model_cfg.n_embd, ctx,
+            segments=next(probe_iter)["segments"])
         result = {
             "metric": "production-path MLM tokens/sec/chip "
                       "(text->C++ tokenize->shards->pack->prefetch->train)",
@@ -110,6 +121,9 @@ def main():
             "unit": "tokens/sec/chip",
             "detail": {
                 "mfu": round(mfu(tokens / dt, fpt, n_dev, gen), 4),
+                "mfu_executed": round(
+                    mfu(tokens / dt, fpt_exec, n_dev, gen), 4),
+                "flops_ratio_e": round(fpt_exec / fpt, 4),
                 "final_loss": round(loss, 4),
                 "steps": steps,
                 "global_batch": batch,

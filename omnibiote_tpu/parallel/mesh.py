@@ -83,6 +83,8 @@ def shard_batch_pytree(mesh: Mesh, batch: dict, batch_dim: int = 0,
     and each host contributes its process-local slice via
     jax.make_array_from_process_local_data — the replacement for the
     reference's per-rank torchrun data split (train_encoder.py:115-124).
+    Per-host sharded feeding (data_hosts > 1) goes through
+    shard_host_local_batch instead — the host never builds the global batch.
     """
     if jax.process_count() == 1:
         return {
@@ -100,4 +102,29 @@ def shard_batch_pytree(mesh: Mesh, batch: dict, batch_dim: int = 0,
         idx[batch_dim] = slice(lo, lo + per)
         out[k] = jax.make_array_from_process_local_data(
             sharding, v[tuple(idx)], v.shape)
+    return out
+
+
+def shard_host_local_batch(mesh: Mesh, batch: dict, batch_dim: int = 0,
+                           global_rows: Optional[int] = None) -> dict:
+    """Place per-host batch BLOCKS on the mesh: each process supplies only
+    its own `global_rows // process_count` rows of dimension `batch_dim`
+    (built by its host-local pipeline, data/loader.py num_hosts/host_id) —
+    no process ever assembles the global batch. The global array's row p*per
+    .. (p+1)*per block is process p's data, matching shard_batch_pytree's
+    slice layout (and the reference's per-rank split,
+    /root/reference/training/train_encoder.py:118-133).
+
+    Single-process: equivalent to shard_batch_pytree (the local block IS the
+    global batch)."""
+    if jax.process_count() == 1:
+        return shard_batch_pytree(mesh, batch, batch_dim)
+    out = {}
+    for k, v in batch.items():
+        sharding = batch_sharding(mesh, v.ndim, batch_dim)
+        gshape = list(v.shape)
+        gshape[batch_dim] = (global_rows if global_rows is not None
+                             else v.shape[batch_dim] * jax.process_count())
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, v, tuple(gshape))
     return out

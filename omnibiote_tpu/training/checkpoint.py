@@ -354,6 +354,15 @@ def _save_checkpoint_multiproc(trainer, path: str, tmp: str,
     _save_shards(os.path.join(tmp, "params"), trainer.params)
     _save_shards(os.path.join(tmp, "opt_state"),
                  _optstate_to_tree(trainer.opt_state))
+    if getattr(trainer, "data_hosts", 1) > 1:
+        # per-host sharded feeding: every process owns a distinct stream
+        # position — each writes its own snapshot (meta.json keeps process
+        # 0's for single-host inspection; restore prefers these files)
+        states = [s.to_dict() for s in trainer.reader_states_for_checkpoint()]
+        with open(os.path.join(
+                tmp, f"reader_states.proc{jax.process_index()}.json"),
+                "w") as f:
+            json.dump(states, f)
     if jax.process_index() == 0:
         meta = _build_meta(trainer)
         with open(os.path.join(tmp, "meta.json"), "w") as f:
@@ -380,6 +389,7 @@ def _build_meta(trainer) -> Dict:
         "step": trainer.step,
         "trained_tokens": tokens,
         "total_iters": trainer.total_iters,
+        "data_hosts": getattr(trainer, "data_hosts", 1),
         "rng": np.asarray(
             jax.random.key_data(trainer.rng)
             if jax.dtypes.issubdtype(trainer.rng.dtype, jax.dtypes.prng_key)
@@ -471,7 +481,23 @@ def restore_into_trainer(trainer, path: str) -> None:
         trainer.rng = jax.random.wrap_key_data(jnp.asarray(rng), impl=impl)
     else:
         trainer.rng = jnp.asarray(rng)
-    restored = [ReaderState.from_dict(d) for d in meta["reader_states"]]
+    saved_hosts = int(meta.get("data_hosts", 1))
+    my_hosts = getattr(trainer, "data_hosts", 1)
+    if saved_hosts != my_hosts and (trainer.reader_states
+                                    or meta["reader_states"]):
+        raise ValueError(
+            f"checkpoint was saved with data_hosts={saved_hosts} but this "
+            f"trainer runs data_hosts={my_hosts}: per-host streams are "
+            "striped by host count, so the stream position cannot be "
+            "resumed row-exactly across a host-count change — restart the "
+            "data stream (reader_states=[]) or keep the host count")
+    proc_file = os.path.join(
+        path, f"reader_states.proc{jax.process_index()}.json")
+    if my_hosts > 1 and os.path.exists(proc_file):
+        with open(proc_file) as f:
+            restored = [ReaderState.from_dict(d) for d in json.load(f)]
+    else:
+        restored = [ReaderState.from_dict(d) for d in meta["reader_states"]]
     if len(trainer.reader_states) == len(restored):
         # Mutate the live state objects in place: the data pipeline's readers
         # hold references to these very objects, so (as long as no batch has

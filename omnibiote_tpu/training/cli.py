@@ -152,10 +152,16 @@ def main(argv=None):
     train_dirs, val_dirs, val_names, proportions = train_cfg.mixture
     banned = [args.banned_token] if args.banned_token is not None else []
 
+    # Pod runs: each process builds only ITS slice of the global batch from
+    # a disjoint stripe of shard files — host-side tokenize/pack/shuffle
+    # work scales 1/N with pod size (the reference's per-rank
+    # batch_size // world_size generator chains, train_encoder.py:118-133)
+    data_hosts = jax.process_count()
     batch_iter, reader_states = build_pipeline(
         args.base_dir, train_dirs, proportions,
         batch_size=args.batch_size, ctx_len=args.ctx_len,
-        use_padding=args.use_padding, banned_tokens=banned, seed=args.seed)
+        use_padding=args.use_padding, banned_tokens=banned, seed=args.seed,
+        num_hosts=data_hosts, host_id=jax.process_index())
 
     val_iters = {}
     for name, vdir in zip(val_names, val_dirs):
@@ -182,7 +188,7 @@ def main(argv=None):
     # (round-1 VERDICT weak #2).
     trainer = Trainer(model_cfg, train_cfg, batch_iter=batch_iter,
                       reader_states=reader_states, metrics_sink=sink,
-                      prefetch=2)
+                      prefetch=2, data_hosts=data_hosts)
 
     if args.resume_from:
         if args.resume_from < 0:

@@ -123,26 +123,33 @@ def main():
     tps = tokens / dt
     n_body = num_params(trainer.params, non_embedding=True)
     fpt = flops_per_token(n_body, args.layers, args.embd, args.ctx)
-    # The reference's 6N formula credits the untied (D, V) readout at every
-    # position, but the compacted MLM head (training/mlm.py) executes it on
-    # only T//4 slots per row — so reported MFU = true_util / e with
-    # e = executed/nominal. Small models get a large 1/e boost (the head is
-    # ~40% of N at 165M) that shrinks with scale; mfu_executed is the
-    # formula-independent utilization that lets rows be compared fairly.
-    head = args.embd * (2 ** 16)
-    fpt_exec = fpt - 6.0 * head * (1.0 - 0.25)
-    # Peak HBM (when the runtime exposes it): the decisive number for the
-    # accumulation-scan rows — demand above the 16 GB chip turns into host
-    # spilling through the relay, which shows up as a 3-10x step slowdown
-    # long before an OOM.
+    # Dual MFU: the nominal formula credits the full-vocab head at every
+    # position and dense T^2 attention; mfu_executed counts only launched
+    # FLOPs (compacted head + segment-skip tile survival for THIS batch
+    # distribution — metrics.flops_per_token_executed documents the rules).
+    from omnibiote_tpu.training.metrics import flops_per_token_executed
+    s_rng = np.random.default_rng(1234)
+    s_toks = s_rng.integers(
+        20, 65000, size=(batch, args.ctx)).astype(np.int32)
+    for r in range(batch):
+        s_toks[r, s_rng.integers(32, args.ctx, size=3)] = obt.EOS_TOKEN
+    fpt_exec = flops_per_token_executed(
+        n_body, args.layers, args.embd, args.ctx,
+        segments=segment_ids_np(s_toks),
+        attn_impl=args.attn)
+    # Peak HBM: memory_stats() is unavailable through the axon relay (and
+    # device_memory_profile() aborts the process), so report XLA's
+    # compile-time allocation plan for the step — argument + temp + output
+    # - alias bytes, the high-water mark the compiled program schedules
+    # (Trainer.step_memory_analysis; fills r4's dead 0.0 column).
     try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-        peak_gb = stats.get("peak_bytes_in_use", 0) / 2 ** 30
-    except Exception:
+        mem = trainer.step_memory_analysis()
+        peak_gb = mem["peak_hbm_bytes"] / 2 ** 30
+    except Exception as e:
+        print(f"step_memory_analysis failed: {e}", file=sys.stderr)
         peak_gb = 0.0
     # Persistent device residency (params, opt state, staged batches):
-    # memory_stats() is unavailable through the axon relay, but live
-    # jax.Arrays are countable from the host and bound the resident
+    # live jax.Arrays are countable from the host and bound the resident
     # baseline the step's transients stack on top of.
     live_gb = sum(x.nbytes for x in jax.live_arrays()) / 2 ** 30
     print(json.dumps({
