@@ -93,8 +93,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "the large-model single-chip recipe (DESIGN.md)")
     p.add_argument("--grad_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
-                   help="gradient buffer dtype on the no-accumulation path "
-                        "(clip/Adam still compute in fp32)")
+                   help="gradient buffer dtype: the accumulation scan's "
+                        "grad carry and the A=1 grad buffer (clip/Adam "
+                        "still compute in fp32; adds are fp32-rounded)")
     p.add_argument("--remat_policy", type=str, default="full",
                    choices=["full", "dots"],
                    help="rematerialisation policy when --checkpoint_freq>0")

@@ -105,15 +105,25 @@ def make_train_step(model_cfg: OmniBioTAConfig, train_cfg: TrainConfig,
             masked = w * aux["masked_count"]
             tokens_seen = (w > 0) * aux["num_tokens"]
         else:
+            # grad_dtype='bfloat16' halves the scan's full-size grad carry
+            # (3.8 GB fp32 at 1.07B) — the lever that lets the big-model
+            # recipe run accumulation >= 64 on one 16 GB chip. The add is
+            # computed in fp32 and rounded back per micro-step (the
+            # elementwise convert+add+convert fuses; no fp32 buffer is ever
+            # materialized); bf16 carry noise is ~2^-8 per add — loss-curve
+            # parity vs fp32 is proven by tools/probes/bf16moments.py and
+            # tests/test_training.py.
+            gdt = jnp.dtype(getattr(train_cfg, "grad_dtype", "float32"))
             zero_grads = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+                lambda p: jnp.zeros(p.shape, gdt), params)
 
             def body(carry, xs):
                 acc_grads, acc_loss, acc_masked, acc_tok = carry
                 t, s, w, r = xs
                 loss, aux, grads = micro_grad(params_c, t, s, r)
                 acc_grads = jax.tree.map(
-                    lambda a, g: a + w * g.astype(jnp.float32),
+                    lambda a, g: (a.astype(jnp.float32)
+                                  + w * g.astype(jnp.float32)).astype(gdt),
                     acc_grads, grads)
                 return (
                     acc_grads,

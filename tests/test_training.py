@@ -755,3 +755,25 @@ def test_fsdp_pp_composition_matches_pp():
     losses_pp = []
     tr_pp.run(max_steps=5, on_metrics=lambda r: losses_pp.append(r["loss"]))
     np.testing.assert_allclose(losses_f, losses_pp, rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_grad_carry_in_accumulation_scan_tracks_fp32():
+    """grad_dtype=bfloat16 with accumulation (A>1) stores the scan's grad
+    CARRY in bf16 (the 1.07B accum-64 memory lever; adds are fp32-rounded
+    per micro-step): dynamics must track the fp32-carry run."""
+    tc32 = TrainConfig(batch_size=32, mini_batch_size=1, ctx_len=32, lr=1e-2,
+                       token_budget=32 * 32 * 200.0, seed=0)
+    tcmx = tc32.replace(moment_dtype="bfloat16", grad_dtype="bfloat16")
+    tr32 = Trainer(MODEL, tc32, batch_iter=synth_batches(32, 32, seed=7))
+    trmx = Trainer(MODEL, tcmx, batch_iter=synth_batches(32, 32, seed=7))
+    assert tr32.accum_slots > 1            # really on the scan path
+
+    l32, lmx = [], []
+    for _ in range(15):
+        l32.append(float(tr32.train_step_once()["loss"]))
+        lmx.append(float(trmx.train_step_once()["loss"]))
+    np.testing.assert_allclose(l32[0], lmx[0], rtol=1e-5)
+    np.testing.assert_allclose(l32, lmx, rtol=0.05)
+    assert lmx[-1] < lmx[0] and l32[-1] < l32[0]
+    assert abs(np.mean(l32[-5:]) - np.mean(lmx[-5:])) < 0.02 * np.mean(
+        l32[-5:])

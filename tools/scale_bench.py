@@ -43,21 +43,24 @@ ROWS = [
     dict(label="mid-541M-12L-1536d-ctx1024",
          args="--layers 12 --embd 1536 --heads 12 --ctx 1024 "
               "--mini 8 --accum 16 --steps 4 --warmup 2 --sync 1"),
-    dict(label="big-1.07B-16L-2048d-ctx1024",
+    dict(label="big-1.07B-16L-2048d-ctx1024-gb512",
+         # r5: a real training recipe, not a feasibility demo — global
+         # batch 512 (the reference's regime, train_encoder.py:439) via
+         # accumulation 64 on the one 16 GB chip. The grad CARRY rides the
+         # scan in bf16 (grad_dtype now covers the A>1 path); loss-curve
+         # parity of bf16 moments+carry vs fp32 is BF16_PARITY.json.
          args="--layers 16 --embd 2048 --heads 16 --ctx 1024 "
-              "--mini 8 --accum 1 --steps 6 --warmup 2 "
+              "--mini 8 --accum 64 --steps 3 --warmup 2 --sync 1 "
               "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1",
-         # never measured on-chip before — fall back rather than lose the
-         # row: (1) half the micro-batch if mini 8 exceeds the 16 GB HBM;
-         # (2) remat+flash is this row's first-ever pairing (the CPU
-         # interpreter can't exercise it), so the last resort swaps in the
-         # XLA attention path under the same memory recipe
+         # fallbacks keep global batch 512: (1) half the micro if mini 8
+         # exceeds HBM; (2) swap the XLA attention path in under the same
+         # memory recipe
          fallback=[
              "--layers 16 --embd 2048 --heads 16 --ctx 1024 "
-             "--mini 4 --accum 2 --steps 6 --warmup 2 "
+             "--mini 4 --accum 128 --steps 3 --warmup 2 --sync 1 "
              "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1",
              "--layers 16 --embd 2048 --heads 16 --ctx 1024 "
-             "--mini 4 --accum 2 --steps 6 --warmup 2 "
+             "--mini 4 --accum 128 --steps 3 --warmup 2 --sync 1 "
              "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1 "
              "--attn xla",
          ]),
@@ -96,10 +99,14 @@ def _flush(rows):
            "note": ("mfu per the reference's analytic 6N + 12*L*d*T "
                     "(train_encoder.py:360), N = non-embedding params, "
                     "vs the 197 TF/s nominal v5e peak. mfu_executed "
-                    "re-credits the compacted MLM head (mlm.py: T//4 "
-                    "slots) at its executed size — the formula-independent "
-                    "utilization comparable across model scales; "
-                    "flops_ratio_e = executed/nominal.")}
+                    "counts only launched FLOPs: the compacted MLM head "
+                    "(mlm.py) at its executed size AND the attention tiles "
+                    "surviving segment-skip (metrics.flops_per_token_"
+                    "executed) — the formula-independent utilization "
+                    "comparable across model scales; flops_ratio_e = "
+                    "executed/nominal. peak_hbm_gb = XLA's compile-time "
+                    "allocation plan for the step (argument+temp+output-"
+                    "alias; Trainer.step_memory_analysis).")}
     with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
         json.dump(out, f, indent=2)
 
