@@ -1,16 +1,20 @@
-"""bf16 Adam moments + bf16 grad-carry loss-curve parity vs fp32 (on-chip).
+"""On-chip loss-curve overlay: bf16 Adam moments + bf16 grad carry vs fp32.
 
-The 1.07B-on-one-16GB-chip recipe stores Adam moments, the A=1 grad buffer
-AND the accumulation scan's grad carry in bfloat16
-(optim.scale_by_adam_mixed, train.make_train_step). r4's only evidence that
-this holds a loss curve was a 10/20-step CPU unit test
-(tests/test_training.py); this probe checks in a >=200-step on-chip overlay
-(r4 VERDICT next #4): same data/seed, two full runs (fp32 vs mixed), curve
-recorded every 10 steps, summary = max |Δloss|/loss over the overlay.
+The 1.07B row in BENCH_SCALE.json trains on one 16 GB chip only because the
+Adam moments, the gradients, and (r5) the accumulation-scan grad CARRY ride
+in bfloat16 (training/optim.scale_by_adam_mixed, train.py accumulation
+scan). The unit evidence was a 20-step CPU test
+(tests/test_training.py:test_mixed_moment_and_grad_dtypes_track_fp32);
+the r4 VERDICT asked for a >=200-step on-chip artifact proving the memory
+recipe holds a loss curve (ref regime: accumulation, real sequences).
 
-Writes BF16_PARITY.json (env BF16_PARITY_JSON overrides).
-Accumulation is ON (accum 4) so the bf16 SCAN CARRY — the newest lever —
-is exercised, not just the moment storage.
+This probe trains the SAME model / data stream (real ProNAB corpus,
+realcorpus.py) twice on the TPU — once all-fp32, once with the full big-row
+memory recipe (moment_dtype=bfloat16, grad_dtype=bfloat16, accumulation so
+the bf16 carry path is exercised) — and writes BF16_PARITY.json with both
+curves plus tracking stats.
+
+Env: BF16_PARITY_JSON overrides the output path; BF16_STEPS the step count.
 """
 import json
 import os
@@ -22,72 +26,95 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(os.path.dirname(HERE))
 sys.path.insert(0, REPO)
+sys.path.insert(0, HERE)
+
+from omnibiote_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
+import omnibiote_tpu as obt                       # noqa: E402
+from omnibiote_tpu.config import TrainConfig      # noqa: E402
+from omnibiote_tpu.data.loader import build_pipeline  # noqa: E402
+from omnibiote_tpu.training.train import Trainer  # noqa: E402
+
+STEPS = int(os.environ.get("BF16_STEPS", "300"))
+CTX, MINI, ACCUM = 512, 4, 8          # accum > 1: the bf16 carry is live
+BATCH = MINI * ACCUM
+
+ROOT = "/tmp/obt_real_corpus"
+if not os.path.isdir(os.path.join(ROOT, "genbank", "train")):
+    from realcorpus import build_real_corpus
+    build_real_corpus(ROOT)
+
+MCFG = obt.OmniBioTAConfig(
+    n_layer=6, n_embd=768, n_head=12, block_size=CTX, vocab_size=2 ** 16,
+    dropout=0.0, attn_impl="flash", compute_dtype="bfloat16")
 
 
-def run(moment_dtype, grad_dtype, root, steps):
-    import omnibiote_tpu as obt
-    from omnibiote_tpu.config import TrainConfig
-    from omnibiote_tpu.data.loader import build_pipeline
-    from omnibiote_tpu.training.train import Trainer
-
-    ctx, mini, accum = 512, 8, 4
-    batch = mini * accum
-    mcfg = obt.OmniBioTAConfig(
-        n_layer=4, n_embd=512, n_head=8, block_size=ctx, vocab_size=2 ** 16,
-        dropout=0.0, attn_impl="flash", compute_dtype="bfloat16")
-    tc = TrainConfig(batch_size=batch, mini_batch_size=mini, ctx_len=ctx,
-                     lr=1e-2, token_budget=float(batch * ctx * steps),
-                     seed=0, banned_token=65533, log_every=10,
-                     moment_dtype=moment_dtype, grad_dtype=grad_dtype)
+def run(moment_dtype, grad_dtype):
+    tc = TrainConfig(
+        batch_size=BATCH, mini_batch_size=MINI, ctx_len=CTX, lr=1e-2,
+        token_budget=float(BATCH * CTX * STEPS), seed=0,
+        banned_token=65533, log_every=1,
+        moment_dtype=moment_dtype, grad_dtype=grad_dtype)
     it, states = build_pipeline(
-        root, ["genbank/train", "uniref100/train"], [0.2, 0.8],
-        batch_size=batch, ctx_len=ctx, banned_tokens=[65533], seed=0)
-    tr = Trainer(mcfg, tc, batch_iter=it, reader_states=states, prefetch=2)
-    assert tr.accum_slots == accum
-    recs = []
-    tr.run(max_steps=steps, on_metrics=lambda r: recs.append(r))
+        ROOT, ["genbank/train", "uniref100/train"], [0.2, 0.8],
+        batch_size=BATCH, ctx_len=CTX, banned_tokens=[65533], seed=0)
+    tr = Trainer(MCFG, tc, batch_iter=it, reader_states=states, prefetch=2)
+    losses = []
+    t0 = time.time()
+    tr.run(max_steps=STEPS,
+           on_metrics=lambda r: losses.append(r["loss"])
+           if "loss" in r else None)
+    dt = time.time() - t0
     tr.close()
-    return [(r["step"], round(float(r["loss"]), 5))
-            for r in recs if "loss" in r]
+    return losses, dt
 
 
 def main():
-    steps = int(os.environ.get("BF16_PARITY_STEPS", "250"))
-    from omnibiote_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache()
+    l32, t32 = run("float32", "float32")
+    print(f"fp32: {len(l32)} steps, first {l32[0]:.4f} last {l32[-1]:.4f} "
+          f"({t32:.1f}s)", flush=True)
+    lmx, tmx = run("bfloat16", "bfloat16")
+    print(f"bf16: {len(lmx)} steps, first {lmx[0]:.4f} last {lmx[-1]:.4f} "
+          f"({tmx:.1f}s)", flush=True)
 
-    root = "/tmp/obt_real_corpus"
-    if not os.path.isdir(os.path.join(root, "genbank", "train")):
-        from realcorpus import build_real_corpus
-        build_real_corpus(root)
-
-    t0 = time.time()
-    curve32 = run("float32", "float32", root, steps)
-    curvemx = run("bfloat16", "bfloat16", root, steps)
-    wall = time.time() - t0
-
-    l32 = dict(curve32)
-    lmx = dict(curvemx)
-    common = sorted(set(l32) & set(lmx))
-    rel = [abs(l32[s] - lmx[s]) / max(abs(l32[s]), 1e-9) for s in common]
+    import jax
+    n = min(len(l32), len(lmx))
+    a, b = np.asarray(l32[:n]), np.asarray(lmx[:n])
+    rel = np.abs(a - b) / np.maximum(np.abs(a), 1e-9)
+    k = max(1, n // 5)
+    tail32, tailmx = float(a[-k:].mean()), float(b[-k:].mean())
     payload = {
-        "steps": steps,
-        "model": "4L/512d/8h ctx 512, accum 4 (bf16 scan carry exercised)",
-        "corpus": "real (ProNAB sequences)",
-        "final_loss_fp32": l32[common[-1]],
-        "final_loss_bf16": lmx[common[-1]],
-        "max_rel_loss_gap": round(max(rel), 5),
-        "mean_rel_loss_gap": round(float(np.mean(rel)), 5),
-        "wall_s": round(wall, 1),
-        "curve": [{"step": s, "fp32": l32[s], "bf16": lmx[s]}
-                  for s in common],
+        "corpus": "real (ProNAB sequences, realcorpus.py)",
+        "platform": jax.devices()[0].platform,
+        "model": "6L/768d/12h, ctx 512, global batch 32 (mini 4 x accum 8)",
+        "recipe_mixed": "moment_dtype=bfloat16 grad_dtype=bfloat16 "
+                        "(Adam moments, grads AND the accumulation-scan "
+                        "grad carry in bf16 — the BENCH_SCALE big-row "
+                        "memory recipe)",
+        "steps": n, "lr": 1e-2,
+        "first_loss": {"fp32": float(a[0]), "bf16": float(b[0])},
+        "final_loss": {"fp32": float(a[-1]), "bf16": float(b[-1])},
+        "tail_mean_loss": {"fp32": round(tail32, 4),
+                           "bf16": round(tailmx, 4),
+                           "window": int(k)},
+        "tail_rel_gap": round(abs(tail32 - tailmx) / tail32, 5),
+        "max_rel_gap": round(float(rel.max()), 5),
+        "mean_rel_gap": round(float(rel.mean()), 5),
+        "both_converged": bool(a[-1] < a[0] and b[-1] < b[0]),
+        "tracks": bool(abs(tail32 - tailmx) / tail32 < 0.02),
+        "wall_s": {"fp32": round(t32, 1), "bf16": round(tmx, 1)},
+        "curve_every_5": [
+            {"step": i, "fp32": round(float(a[i]), 4),
+             "bf16": round(float(b[i]), 4)}
+            for i in range(0, n, 5)],
     }
     out = os.environ.get("BF16_PARITY_JSON",
                          os.path.join(REPO, "BF16_PARITY.json"))
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
-    print(json.dumps({k: v for k, v in payload.items() if k != "curve"}))
-    print("wrote", out)
+    print("wrote", out, "tracks =", payload["tracks"],
+          "tail_rel_gap =", payload["tail_rel_gap"])
 
 
 if __name__ == "__main__":

@@ -28,7 +28,8 @@ REPO = os.path.dirname(os.path.dirname(HERE))
 sys.path.insert(0, REPO)
 
 WIDTHS = [256, 512, 1024]
-LRS = [3e-3, 1e-2, 3e-2, 1e-1]
+# 0.3 caps the grid so the argmin is interior, not an edge artifact
+LRS = [3e-3, 1e-2, 3e-2, 1e-1, 3e-1]
 
 
 def run_cell(args):
@@ -92,27 +93,51 @@ def main():
         from realcorpus import build_real_corpus
         build_real_corpus(root)
 
+    # Resumable: completed cells persist in a .partial.jsonl next to the
+    # output so a relay hang / killed session only costs the in-flight cell.
+    out = os.environ.get("MUP_TRANSFER_JSON",
+                         os.path.join(REPO, "MUP_TRANSFER.json"))
+    partial = out + ".partial.jsonl"
+    done = {}
+    if os.path.exists(partial):
+        with open(partial) as f:
+            for ln in f:
+                try:
+                    r = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+                if r.get("final_loss") is not None and r.get(
+                        "steps") == args.steps:
+                    done[(r["width"], r["lr"])] = r
+
     grid, rows = {}, []
     for width in args.widths:
         grid[str(width)] = {}
         for lr in args.lrs:
-            cmd = [sys.executable, os.path.abspath(__file__), "--child",
-                   "--width", str(width), "--lr", repr(lr),
-                   "--root", root, "--steps", str(args.steps)]
-            t0 = time.time()
-            try:
-                p = subprocess.run(cmd, capture_output=True, text=True,
-                                   timeout=args.timeout, cwd=REPO)
-                line = [l for l in p.stdout.splitlines()
-                        if l.startswith("{")][-1] if p.returncode == 0 else None
-            except subprocess.TimeoutExpired:
-                line = None
-            if line is None:
-                rec = {"width": width, "lr": lr, "final_loss": None,
-                       "error": "cell failed or timed out",
-                       "wall_s": round(time.time() - t0, 1)}
+            if (width, lr) in done:
+                rec = done[(width, lr)]
             else:
-                rec = json.loads(line)
+                cmd = [sys.executable, os.path.abspath(__file__), "--child",
+                       "--width", str(width), "--lr", repr(lr),
+                       "--root", root, "--steps", str(args.steps)]
+                t0 = time.time()
+                try:
+                    p = subprocess.run(
+                        cmd, capture_output=True, text=True,
+                        timeout=args.timeout, cwd=REPO)
+                    line = [l for l in p.stdout.splitlines()
+                            if l.startswith("{")][-1] \
+                        if p.returncode == 0 else None
+                except subprocess.TimeoutExpired:
+                    line = None
+                if line is None:
+                    rec = {"width": width, "lr": lr, "final_loss": None,
+                           "error": "cell failed or timed out",
+                           "wall_s": round(time.time() - t0, 1)}
+                else:
+                    rec = json.loads(line)
+                    with open(partial, "a") as f:
+                        f.write(json.dumps(rec) + "\n")
             rows.append(rec)
             grid[str(width)][repr(lr)] = rec.get("final_loss")
             print(f"width {width} lr {lr}: {rec.get('final_loss')} "
@@ -121,7 +146,8 @@ def main():
     argmin = {}
     for width in args.widths:
         cells = {lr: grid[str(width)][repr(lr)] for lr in args.lrs
-                 if grid[str(width)][repr(lr)] is not None}
+                 if grid[str(width)][repr(lr)] is not None
+                 and np.isfinite(grid[str(width)][repr(lr)])}
         argmin[str(width)] = min(cells, key=cells.get) if cells else None
     payload = {
         "corpus": "real (ProNAB sequences, realcorpus.py)",

@@ -1,4 +1,10 @@
-"""Capture a device trace of the train step and print the top op costs."""
+"""Capture a device trace of the train step and print the top op costs.
+
+Env-parametrized (r5: used to attribute the executed-utilization gap at
+the reference-default config — PROF_LAYERS=12 PROF_CTX=2048 PROF_ACCUM=16):
+PROF_LAYERS, PROF_EMBD, PROF_HEADS, PROF_CTX, PROF_MINI, PROF_ACCUM,
+PROF_DROPOUT, PROF_STEPS.
+"""
 import glob, gzip, json, os, sys
 from collections import defaultdict
 
@@ -8,10 +14,13 @@ import omnibiote_tpu as obt
 from omnibiote_tpu.config import TrainConfig
 from omnibiote_tpu.training.train import Trainer
 from omnibiote_tpu.ops.segments import segment_ids_np
+from omnibiote_tpu.utils.compile_cache import enable_compile_cache
 
-ctx = 1024
+enable_compile_cache()
+E = os.environ.get
+ctx = int(E("PROF_CTX", "1024"))
 rng = np.random.default_rng(0)
-mini, accum = 8, 4
+mini, accum = int(E("PROF_MINI", "8")), int(E("PROF_ACCUM", "4"))
 batch = mini * accum
 
 def batches():
@@ -23,14 +32,16 @@ def batches():
         yield {"tokens": toks, "segments": segment_ids_np(toks)}
 
 mcfg = obt.OmniBioTAConfig(
-    n_layer=8, n_embd=1024, n_head=8, block_size=ctx, vocab_size=2**16,
-    dropout=0.1, attn_impl="flash", compute_dtype="bfloat16")
+    n_layer=int(E("PROF_LAYERS", "8")), n_embd=int(E("PROF_EMBD", "1024")),
+    n_head=int(E("PROF_HEADS", "8")), block_size=ctx, vocab_size=2**16,
+    dropout=float(E("PROF_DROPOUT", "0.1")), attn_impl="flash",
+    compute_dtype="bfloat16")
 tcfg = TrainConfig(batch_size=batch, mini_batch_size=mini, ctx_len=ctx,
                    token_budget=float(batch * ctx * 100000), seed=0)
 tr = Trainer(mcfg, tcfg, batch_iter=batches())
 trace_dir = "/tmp/obt_profile"
 os.system(f"rm -rf {trace_dir}")
-tr.profile(n_steps=3, trace_dir=trace_dir)
+tr.profile(n_steps=int(E("PROF_STEPS", "3")), trace_dir=trace_dir)
 
 # Parse the chrome trace: aggregate op durations on the device track.
 files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
