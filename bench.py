@@ -160,7 +160,9 @@ def main():
         m = trainer.train_step_once()
     float(m["loss"])
 
-    steps = int(os.environ.get("BENCH_STEPS", "24"))
+    # 50-step window (r4 VERDICT weak #6): the persistent compile cache
+    # reclaimed the warmup budget, so the measurement window doubles.
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
     t0 = time.time()
     for _ in range(steps):
         m = trainer.train_step_once()

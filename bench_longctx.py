@@ -49,7 +49,8 @@ def run_ctx(ctx: int, mini: int, accum: int):
     for _ in range(3):
         m = trainer.train_step_once()
     float(m["loss"])
-    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    # 40-step window (r4 weak #6; compile cache reclaimed the warmup)
+    steps = int(os.environ.get("BENCH_STEPS", "40"))
     t0 = time.time()
     for _ in range(steps):
         m = trainer.train_step_once()

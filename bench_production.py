@@ -92,7 +92,8 @@ def main():
             m = trainer.train_step_once()
         float(m["loss"])   # flush compiles through the relay
 
-        steps = int(os.environ.get("BENCH_STEPS", "12"))
+        # 40-step window (r4 weak #6; compile cache reclaimed the warmup)
+        steps = int(os.environ.get("BENCH_STEPS", "40"))
         t0 = time.time()
         for _ in range(steps):
             m = trainer.train_step_once()

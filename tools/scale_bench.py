@@ -39,10 +39,10 @@ ROWS = [
          # honest timing (wall includes one relay RTT per step; on real
          # hardware async dispatch only ever overlaps MORE).
          args="--layers 12 --embd 1024 --heads 8 --ctx 2048 "
-              "--mini 8 --accum 128 --steps 3 --warmup 2 --sync 1"),
+              "--mini 8 --accum 128 --steps 6 --warmup 2 --sync 1"),
     dict(label="mid-541M-12L-1536d-ctx1024",
          args="--layers 12 --embd 1536 --heads 12 --ctx 1024 "
-              "--mini 8 --accum 16 --steps 4 --warmup 2 --sync 1"),
+              "--mini 8 --accum 16 --steps 8 --warmup 2 --sync 1"),
     dict(label="big-1.07B-16L-2048d-ctx1024-gb512",
          # r5: a real training recipe, not a feasibility demo — global
          # batch 512 (the reference's regime, train_encoder.py:439) via
