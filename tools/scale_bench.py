@@ -115,6 +115,12 @@ def main():
     rows = []
     for spec in ROWS:
         row = _run_probe(spec["label"], spec["args"])
+        if "error" in row and "RESOURCE_EXHAUSTED" in row["error"]:
+            # observed transient: device arrays of a just-exited process
+            # are freed asynchronously on the relay — retry once after a
+            # settle window before burning the memory-recipe fallbacks
+            time.sleep(60)
+            row = _run_probe(spec["label"], spec["args"])
         fallbacks = spec.get("fallback", [])
         if isinstance(fallbacks, str):
             fallbacks = [fallbacks]
