@@ -93,9 +93,19 @@ def claims():
            r"16 GB chip \| [\d.]+k tok/s, \*\*([\d.]+)%\*\* MFU",
            _fmt_pct1(scale["big"]["mfu"]))
     conv = _artifact("CONVERGENCE.json")
-    yield ("convergence first loss (CONVERGENCE)",
-           r"val probes\) \| loss ([\d.]+) →",
-           f"{conv['first_loss']:.4f}")
-    yield ("convergence final loss (CONVERGENCE)",
-           r"val probes\) \| loss [\d.]+ → ([\d.]+) \(CONVERGENCE\.json\)",
-           f"{conv['final_loss']:.4f}")
+    syn, real = conv["synthetic"], conv["real"]
+    yield ("convergence synthetic first loss (CONVERGENCE)",
+           r"val probes\) \| synthetic motif corpus \(plumbing proof\): "
+           r"loss ([\d.]+) →",
+           f"{syn['first_loss']:.4f}")
+    yield ("convergence synthetic final loss (CONVERGENCE)",
+           r"val probes\) \| synthetic motif corpus \(plumbing proof\): "
+           r"loss [\d.]+ → ([\d.]+);",
+           f"{syn['final_loss']:.4f}")
+    yield ("convergence real first loss (CONVERGENCE)",
+           r"real ProNAB protein/DNA/RNA sequences: loss ([\d.]+) →",
+           f"{real['first_loss']:.4f}")
+    yield ("convergence real final loss (CONVERGENCE)",
+           r"real ProNAB protein/DNA/RNA sequences: "
+           r"loss [\d.]+ → ([\d.]+) \(CONVERGENCE\.json\)",
+           f"{real['final_loss']:.4f}")
