@@ -46,18 +46,19 @@ ROWS = [
     dict(label="big-1.07B-16L-2048d-ctx1024-gb512",
          # r5: a real training recipe, not a feasibility demo — global
          # batch 512 (the reference's regime, train_encoder.py:439) via
-         # accumulation 64 on the one 16 GB chip. The grad CARRY rides the
+         # accumulation 128 on the one 16 GB chip. The grad CARRY rides the
          # scan in bf16 (grad_dtype now covers the A>1 path); loss-curve
          # parity of bf16 moments+carry vs fp32 is BF16_PARITY.json.
+         # mini 4 is the measured fit: mini 8 x accum 64 OOMs (XLA's plan
+         # wants ~8 extra 128M remat temps at the wider micro).
          args="--layers 16 --embd 2048 --heads 16 --ctx 1024 "
-              "--mini 8 --accum 64 --steps 3 --warmup 2 --sync 1 "
+              "--mini 4 --accum 128 --steps 3 --warmup 2 --sync 1 "
               "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1",
-         # fallbacks keep global batch 512: (1) half the micro if mini 8
-         # exceeds HBM; (2) swap the XLA attention path in under the same
-         # memory recipe
+         # fallbacks keep global batch 512: (1) try the wider micro;
+         # (2) swap the XLA attention path in under the same memory recipe
          fallback=[
              "--layers 16 --embd 2048 --heads 16 --ctx 1024 "
-             "--mini 4 --accum 128 --steps 3 --warmup 2 --sync 1 "
+             "--mini 8 --accum 64 --steps 3 --warmup 2 --sync 1 "
              "--moment-dtype bfloat16 --grad-dtype bfloat16 --remat 1",
              "--layers 16 --embd 2048 --heads 16 --ctx 1024 "
              "--mini 4 --accum 128 --steps 3 --warmup 2 --sync 1 "
