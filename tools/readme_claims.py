@@ -53,11 +53,17 @@ def claims():
     yield ("round-2 MFU (BENCH_r02)",
            r"round 2: ([\d.]+)%", _fmt_pct1(r02["detail"]["mfu"]))
     yield ("production tokens/sec (BENCH_PROD)",
-           r"\| ([\d,]+) tok/s \([\d.]+% MFU, BENCH_PROD\.json\)",
+           r"\| ([\d,]+) tok/s \([\d.]+% MFU / [\d.]+% executed, "
+           r"BENCH_PROD\.json\)",
            _fmt_thousands(prod["value"]))
     yield ("production MFU (BENCH_PROD)",
-           r"\| [\d,]+ tok/s \(([\d.]+)% MFU, BENCH_PROD\.json\)",
+           r"\| [\d,]+ tok/s \(([\d.]+)% MFU / [\d.]+% executed, "
+           r"BENCH_PROD\.json\)",
            _fmt_pct1(prod["detail"]["mfu"]))
+    yield ("production executed MFU (BENCH_PROD)",
+           r"\| [\d,]+ tok/s \([\d.]+% MFU / ([\d.]+)% executed, "
+           r"BENCH_PROD\.json\)",
+           _fmt_pct1(prod["detail"]["mfu_executed"]))
     for ctx in (2048, 4096, 8192, 16384):
         row = lctx[ctx]
         yield (f"ctx-{ctx} tokens/sec (BENCH_LONGCTX)",
@@ -66,6 +72,10 @@ def claims():
         yield (f"ctx-{ctx} MFU (BENCH_LONGCTX)",
                rf"ctx {ctx}: [\d.]+k(?: tok/s)? \(\*\*([\d.]+)%\*\*",
                _fmt_pct1(row["mfu"]))
+        yield (f"ctx-{ctx} executed MFU (BENCH_LONGCTX)",
+               rf"ctx {ctx}: [\d.]+k(?: tok/s)? \(\*\*[\d.]+%\*\*"
+               rf"(?: MFU)? / ([\d.]+)% executed",
+               _fmt_pct1(row["mfu_executed"]))
     yield ("encode bf16 seqs/sec (BENCH_r03 detail)",
            r"\| ([\d.]+) seqs/sec/chip \(bf16\)",
            f"{r03['detail']['encode_seqs_per_sec_ctx1024']:g}")
@@ -80,18 +90,34 @@ def claims():
     yield ("ref-default MFU (BENCH_SCALE)",
            r"global batch 1024 \| [\d.]+k tok/s, \*\*([\d.]+)%\*\* MFU",
            _fmt_pct1(scale["ref"]["mfu"]))
+    yield ("ref-default executed MFU (BENCH_SCALE)",
+           r"global batch 1024 \| [\d.]+k tok/s, \*\*[\d.]+%\*\* MFU / "
+           r"([\d.]+)% executed",
+           _fmt_pct1(scale["ref"]["mfu_executed"]))
     yield ("541M tokens/sec (BENCH_SCALE)",
            r"\| 541M \(12L/1536d\) \| ([\d.]+k) tok/s",
            _fmt_k1(scale["mid"]["tokens_per_sec"]))
     yield ("541M MFU (BENCH_SCALE)",
            r"\| 541M \(12L/1536d\) \| [\d.]+k tok/s, \*\*([\d.]+)%\*\* MFU",
            _fmt_pct1(scale["mid"]["mfu"]))
+    yield ("541M executed MFU (BENCH_SCALE)",
+           r"\| 541M \(12L/1536d\) \| [\d.]+k tok/s, \*\*[\d.]+%\*\* MFU / "
+           r"([\d.]+)% executed",
+           _fmt_pct1(scale["mid"]["mfu_executed"]))
     yield ("1.07B tokens/sec (BENCH_SCALE)",
            r"16 GB chip \| ([\d.]+k) tok/s",
            _fmt_k1(scale["big"]["tokens_per_sec"]))
+    yield ("1.07B global batch (BENCH_SCALE)",
+           r"16 GB chip \| [\d.]+k tok/s at the reference's global batch "
+           r"(\d+)",
+           str(scale["big"]["global_batch"]))
     yield ("1.07B MFU (BENCH_SCALE)",
-           r"16 GB chip \| [\d.]+k tok/s, \*\*([\d.]+)%\*\* MFU",
+           r"16 GB chip \| [\d.]+k tok/s[^|]*?\*\*([\d.]+)%\*\* MFU",
            _fmt_pct1(scale["big"]["mfu"]))
+    yield ("1.07B executed MFU (BENCH_SCALE)",
+           r"16 GB chip \| [\d.]+k tok/s[^|]*?\*\*[\d.]+%\*\* MFU / "
+           r"([\d.]+)% executed",
+           _fmt_pct1(scale["big"]["mfu_executed"]))
     conv = _artifact("CONVERGENCE.json")
     syn, real = conv["synthetic"], conv["real"]
     yield ("convergence synthetic first loss (CONVERGENCE)",
