@@ -57,7 +57,9 @@ def _masked_order(mask: jnp.ndarray, capacity: int):
     cumsum + batched binary search: slot j holds the first position t with
     cumsum(mask)[t] == j+1. A stable argsort lowers to a full O(T log^2 T)
     sorting network on TPU (~4% of the train step at T=1024); the search
-    is log2(T) gather rounds over (B, cap).
+    is log2(T) gather rounds over (B, cap). Superseded in the hot path
+    by _compaction_onehot (MXU contraction, no serial rounds); kept as
+    the independent oracle for the compaction parity test.
     """
     B, T = mask.shape
     cs = jnp.cumsum(mask.astype(jnp.int32), axis=-1)          # (B, T)
@@ -69,17 +71,45 @@ def _masked_order(mask: jnp.ndarray, capacity: int):
     return order, valid
 
 
+def _compaction_onehot(mask: jnp.ndarray, capacity: int, dtype):
+    """One-hot compaction matrix P (..., cap, T) and valid (..., cap).
+
+    P[..., j, t] = 1 iff position t is the row's (j+1)-th masked slot:
+    `cumsum(mask) == j+1` intersected with mask itself — cumsum is
+    monotone, so each P row has at most one hit and slot j is valid
+    exactly when the row holds > j masked positions. Contractions
+    against P replace both the searchsorted order build (log2(T) serial
+    gather rounds) and the take_along_axis gather (a sequence-axis
+    gather HLO) with MXU matmuls; on-chip the full chain is ~1.5x faster
+    fwd+bwd and the backward scatter becomes P^T @ dg for free
+    (tools/probes/headgather2.py: 0.84 vs 1.27 ms at the ref-default
+    head shapes, bitwise parity).
+    """
+    cs = jnp.cumsum(mask.astype(jnp.int32), axis=-1)           # (..., T)
+    targets = jnp.arange(1, capacity + 1, dtype=jnp.int32)     # (cap,)
+    hit = (cs[..., None, :] == targets[:, None]) & mask[..., None, :]
+    valid = targets <= cs[..., -1:]                            # (..., cap)
+    return hit.astype(dtype), valid
+
+
 def _gather_masked(emb: jnp.ndarray, tokens: jnp.ndarray, mask: jnp.ndarray,
                    capacity: int):
     """Compact each row's masked positions into `capacity` slots.
 
-    Returns (gathered_emb (B, cap, D), labels (B, cap), valid (B, cap)).
-    Per-row compaction keeps the batch dimension local to its shard — no
-    cross-device gather under the data-parallel jit.
+    Returns (gathered_emb (..., cap, D), labels (..., cap), valid
+    (..., cap)); leading dims pass through, so the sequence-parallel
+    (B, shards, T_local) blocks use the same code. Per-row compaction
+    keeps the batch dimension local to its shard — no cross-device
+    gather under the data-parallel jit. Invalid slots come back as
+    zeros (callers mask by `valid` before any reduction).
+
+    Labels ride a fp32 contraction: one-hot x int is exact up to 2^24,
+    far above the 2^16 vocab.
     """
-    order, valid = _masked_order(mask, capacity)
-    labels = jnp.take_along_axis(tokens, order, axis=-1)
-    gathered = jnp.take_along_axis(emb, order[:, :, None], axis=1)
+    p, valid = _compaction_onehot(mask, capacity, emb.dtype)
+    gathered = jnp.einsum("...ct,...td->...cd", p, emb)
+    labels = jnp.einsum("...ct,...t->...c", p.astype(jnp.float32),
+                        tokens.astype(jnp.float32)).astype(jnp.int32)
     return gathered, labels, valid
 
 
@@ -138,9 +168,7 @@ def mlm_loss(
         mask_b = mask.reshape(B, n_shards, T_l)
         emb_b = emb.reshape(B, n_shards, T_l, emb.shape[-1])
 
-        order, valid = jax.vmap(_masked_order, in_axes=(0, None))(mask_b, cap)
-        labels = jnp.take_along_axis(tok_b, order, axis=-1)
-        g_emb = jnp.take_along_axis(emb_b, order[..., None], axis=2)
+        g_emb, labels, valid = _gather_masked(emb_b, tok_b, mask_b, cap)
 
         scale = jnp.asarray(cfg.mup_output_mult / cfg.width_mult, emb.dtype)
         if cfg.fused_ce:

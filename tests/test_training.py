@@ -54,6 +54,41 @@ def test_mlm_mask_semantics():
     assert 0.3 < frac < 0.7
 
 
+def test_compaction_onehot_matches_searchsorted_oracle():
+    """The one-hot compaction (MXU contraction path) agrees with the
+    searchsorted order build it replaced, on valid slots, including the
+    leading-dims form the sequence-parallel branch uses."""
+    from omnibiote_tpu.training.mlm import _gather_masked, _masked_order
+
+    rng = np.random.default_rng(7)
+    for B, T, cap in ((4, 64, 16), (3, 128, 8)):
+        emb = jnp.asarray(rng.standard_normal((B, T, 16)), jnp.float32)
+        toks = jnp.asarray(rng.integers(0, 2 ** 16, (B, T)), jnp.int32)
+        # include an all-unmasked row and a row overflowing capacity
+        m = rng.random((B, T)) < 0.2
+        m[0] = False
+        m[1] = True
+        mask = jnp.asarray(m)
+        g, l, v = _gather_masked(emb, toks, mask, cap)
+        order, v0 = _masked_order(mask, cap)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v0))
+        l0 = np.take_along_axis(np.asarray(toks), np.asarray(order), -1)
+        g0 = np.take_along_axis(np.asarray(emb),
+                                np.asarray(order)[:, :, None], 1)
+        vv = np.asarray(v)
+        np.testing.assert_array_equal(np.asarray(l)[vv], l0[vv])
+        np.testing.assert_allclose(np.asarray(g)[vv], g0[vv], rtol=0)
+        # invalid slots are zeros by construction
+        assert not np.asarray(l)[~vv].any()
+        assert not np.asarray(g)[~vv].any()
+        # leading-dims (sequence-parallel block) form
+        gb, lb, vb = _gather_masked(
+            emb.reshape(B, 2, T // 2, 16), toks.reshape(B, 2, T // 2),
+            mask.reshape(B, 2, T // 2), cap // 2)
+        assert gb.shape == (B, 2, cap // 2, 16)
+        assert lb.shape == vb.shape == (B, 2, cap // 2)
+
+
 def test_mlm_loss_matches_full_logits():
     """The compacted-gather CE equals a dense full-logits masked CE."""
     params_rng = jax.random.PRNGKey(1)
